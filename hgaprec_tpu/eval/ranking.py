@@ -1,0 +1,231 @@
+"""Ranking-based evaluation: precision@k, itemrank/MRR, MSR CSV, RMSE.
+
+Device side: an expected-rate matmul over the evaluated users with
+train/validation masking. Host side: the reference's exact bookkeeping and
+file contracts:
+
+  * compute_precision (hgaprec.cc:1703-1848): p@10/p@100 over sampled
+    users, score 0 for train+validation items, top-100 rows appended to
+    ranking.tsv when saving.
+  * compute_itemrank (hgaprec.cc:1607-1701): itemrank.tsv + meanrank.txt.
+    NOTE the reference computes `1 / (j+1)` in *integer* arithmetic
+    (hgaprec.cc:1683), so its "reciprocal rank" only credits rank-0 hits;
+    we reproduce that in meanrank.txt for parity and additionally report
+    the true MRR in meanrank_true.txt.
+  * gen_msr_csv (hgaprec.cc:1993-2085): leave-one-out pred.csv, including
+    the reference's `m < _m-1` scoring loop (the last item keeps a
+    default (item 0, score 0) slot in the sort).
+  * compute_rmse (hgaprec.cc:1579-1604): rmse.txt + test_scores.tsv.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, TextIO
+
+import numpy as np
+
+from hgaprec_tpu.config import ModelConfig
+from hgaprec_tpu.data.ratings import CountMap, RatingsStore
+from hgaprec_tpu.eval.score import pair_scores, user_scores
+from hgaprec_tpu.models.state import ModelState
+
+
+def sample_users(rng: np.random.Generator, n: int, count: int = 1000
+                 ) -> np.ndarray:
+    """hgaprec.cc:1715-1721: draw users (with replacement) into a set
+    until it holds min(count, n/2); do-while semantics: at least one."""
+    limit = min(count, n // 2)
+    users = {int(rng.integers(0, n))}
+    while len(users) < limit:
+        users.add(int(rng.integers(0, n)))
+    return np.asarray(sorted(users), dtype=np.int32)
+
+
+class EvalIndex:
+    """Per-user item arrays for validation masking and test lookups."""
+
+    def __init__(self, validation: CountMap, test: CountMap):
+        self.val_by_user: Dict[int, np.ndarray] = _group(validation)
+        self.test_by_user: Dict[int, list] = {}
+        for (u, m), v in test.items():
+            self.test_by_user.setdefault(u, []).append((m, v))
+
+    def val_items(self, n: int) -> np.ndarray:
+        return self.val_by_user.get(n, _EMPTY)
+
+
+_EMPTY = np.zeros(0, np.int64)
+
+
+def _group(cmap: CountMap) -> Dict[int, np.ndarray]:
+    tmp: Dict[int, list] = {}
+    for (u, m) in cmap.keys():
+        tmp.setdefault(u, []).append(m)
+    return {u: np.asarray(sorted(v), np.int64) for u, v in tmp.items()}
+
+
+def masked_user_scores(state: ModelState, cfg: ModelConfig,
+                       store: RatingsStore, index: EvalIndex,
+                       users: np.ndarray) -> np.ndarray:
+    """[S, M] scores with train+validation entries forced to 0.0
+    (hgaprec.cc:1729-1737)."""
+    import jax.numpy as jnp
+    s = np.asarray(user_scores(state, cfg, jnp.asarray(users)),
+                   dtype=np.float64)
+    for r, n in enumerate(users):
+        n = int(n)
+        s[r, store.items_of_user(n)] = 0.0
+        cols = index.val_items(n)
+        if cols.size:
+            s[r, cols] = 0.0
+    return s
+
+
+def compute_precision(state: ModelState, cfg: ModelConfig,
+                      store: RatingsStore, index: EvalIndex,
+                      test: CountMap, users: np.ndarray,
+                      precision_file: Optional[TextIO],
+                      ranking_path: Optional[str] = None,
+                      topn: int = 100) -> Dict[str, float]:
+    """One precision report; optionally writes ranking.tsv."""
+    scores = masked_user_scores(state, cfg, store, index, users)
+    topn_eff = min(topn, store.m)
+    f = open(ranking_path, "w") if ranking_path else None
+    mhits10 = mhits100 = 0.0
+    total_users = 0
+    top_idx = np.argsort(-scores, axis=1, kind="stable")[:, :topn_eff]
+    for r, n in enumerate(users):
+        n = int(n)
+        hits10 = hits100 = 0
+        for j in range(topn_eff):
+            mm = int(top_idx[r, j])
+            v = test.get((n, mm))
+            hit = 0
+            if v is not None:
+                hit = 1 if store.test_hit(v) else 0
+                if j < 10:
+                    hits10 += hit
+                    hits100 += hit
+                elif j < 100:
+                    hits100 += hit
+            if f is not None and store.r(n, mm) == 0:
+                f.write(f"{store.seq2user[n]}\t{store.seq2movie[mm]}\t"
+                        f"{scores[r, mm]:.5f}\t{hit}\n")
+        mhits10 += hits10 / 10.0
+        mhits100 += hits100 / 100.0
+        total_users += 1
+    if f is not None:
+        f.close()
+    p10 = mhits10 / max(total_users, 1)
+    p100 = mhits100 / max(total_users, 1)
+    if precision_file is not None:
+        precision_file.write(f"{total_users}\t{p10:.5f}\t{p100:.5f}\n")
+        precision_file.flush()
+    return {"users": total_users, "p10": p10, "p100": p100}
+
+
+def compute_itemrank(state: ModelState, cfg: ModelConfig,
+                     store: RatingsStore, index: EvalIndex,
+                     users: np.ndarray, outdir: str) -> Dict[str, float]:
+    """itemrank.tsv + meanrank.txt (hgaprec.cc:1607-1701)."""
+    scores = masked_user_scores(state, cfg, store, index, users)
+    item_deg = store.item_degrees()
+    sum_rank = sum_rr_ref = sum_rr_true = 0.0
+    total_users = 0
+    with open(os.path.join(outdir, "itemrank.tsv"), "w") as f:
+        for r, n in enumerate(users):
+            n = int(n)
+            test_items = index.test_by_user.get(n, ())
+            if not test_items:
+                continue
+            order = np.argsort(-scores[r], kind="stable")
+            rank_of = np.empty_like(order)
+            rank_of[order] = np.arange(order.size)
+            # items not in training (validation/test count as ranked,
+            # hgaprec.cc:1666-1667)
+            nranked = store.m - store.items_of_user(n).size
+            ntest = 0
+            rank_ui = rr_ref = rr_true = 0.0
+            for mm, v in test_items:
+                if not store.test_hit(v):
+                    continue
+                j = int(rank_of[mm])
+                ntest += 1
+                f.write(f"{n}\t{mm}\t{scores[r, mm]:.5f}\t{j}\t"
+                        f"{int(item_deg[mm])}\n")
+                rank_ui += j + 1
+                rr_ref += 1 // (j + 1)        # hgaprec.cc:1683 int division
+                rr_true += 1.0 / (j + 1)
+            if ntest > 0 and nranked > 0:
+                sum_rank += (rank_ui / nranked) / ntest
+                sum_rr_ref += rr_ref / ntest
+                sum_rr_true += rr_true / ntest
+                total_users += 1
+    tu = max(total_users, 1)
+    with open(os.path.join(outdir, "meanrank.txt"), "w") as f:
+        f.write(f"{total_users}\t{sum_rank / tu:.5f}\t{sum_rr_ref / tu:.5f}\n")
+    with open(os.path.join(outdir, "meanrank_true.txt"), "w") as f:
+        f.write(f"{total_users}\t{sum_rank / tu:.5f}\t{sum_rr_true / tu:.5f}\n")
+    return {"users": total_users, "meanrank": sum_rank / tu,
+            "mrr": sum_rr_true / tu}
+
+
+def gen_msr_csv(state: ModelState, cfg: ModelConfig, store: RatingsStore,
+                index: EvalIndex, leave_one_out: Dict[int, int],
+                val_users_of_movie: Dict[int, int], outdir: str) -> None:
+    """pred.csv for leave-one-out evaluation (hgaprec.cc:1993-2085)."""
+    item_deg = store.item_degrees()
+    with open(os.path.join(outdir, "pred.csv"), "w") as f:
+        f.write("User\tHeldOutItem\tHeldOutItemIndex\tUserNegatives\t"
+                "UserCount\tItemCount\n")
+        chunk = 1024
+        all_users = np.arange(store.n, dtype=np.int32)
+        last_ids = np.concatenate([np.arange(store.m - 1), [0]])
+        for lo in range(0, store.n, chunk):
+            sub = all_users[lo:lo + chunk]
+            scores = masked_user_scores(state, cfg, store, index, sub)
+            for r, n in enumerate(sub):
+                n = int(n)
+                if n not in leave_one_out:
+                    continue
+                test_item = leave_one_out[n]
+                # reference loop scores m in [0, M-1): the last item keeps
+                # a default (item 0, score 0.0) slot in the sort
+                sub_scores = np.concatenate([scores[r, :store.m - 1], [0.0]])
+                train_items = store.items_of_user(n)
+                vitems = np.setdiff1d(index.val_items(n), train_items)
+                training = int(np.sum(train_items < store.m - 1) +
+                               np.sum(vitems < store.m - 1))
+                negatives = (store.m - 1) - training
+                order = np.argsort(-sub_scores, kind="stable")
+                sorted_ids = last_ids[order]
+                hits = np.nonzero(sorted_ids == test_item)[0]
+                rank = int(hits[0]) if hits.size else 0
+                ntrain_users = int(item_deg[test_item]) \
+                    if test_item < store.m else 0
+                nvalid = val_users_of_movie.get(test_item, 0)
+                f.write(f"{store.seq2user[n]}\t{store.seq2movie[test_item]}\t"
+                        f"{rank}\t{negatives}\t{training}\t"
+                        f"{ntrain_users + nvalid}\n")
+
+
+def compute_rmse(state: ModelState, cfg: ModelConfig, test: CountMap,
+                 outdir: str, rmse_file: TextIO) -> float:
+    """rmse.txt + test_scores.tsv (hgaprec.cc:1579-1604)."""
+    import jax.numpy as jnp
+    if not test:
+        return 0.0
+    pairs = sorted(test.keys())
+    u = np.asarray([p[0] for p in pairs], np.int32)
+    i = np.asarray([p[1] for p in pairs], np.int32)
+    y = np.asarray([test[p] for p in pairs], np.float64)
+    s = np.asarray(pair_scores(state, cfg, jnp.asarray(u), jnp.asarray(i)),
+                   np.float64)
+    with open(os.path.join(outdir, "test_scores.tsv"), "w") as f:
+        for v, sc in zip(y, s):
+            f.write(f"{int(v)}\t{sc:.5f}\n")
+    rmse = float(np.sqrt(np.mean((s - y) ** 2)))
+    rmse_file.write(f"{rmse:.5f}\n")
+    rmse_file.flush()
+    return rmse

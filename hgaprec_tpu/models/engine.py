@@ -1,0 +1,280 @@
+"""Training driver: CAVI loop + reporting cadence + stopping + contract.
+
+Reproduces the reference's operational envelope:
+
+  * per-run output directory named from the config (env.hh:283-369),
+    containing param.txt, infer.log, validation.txt, test.txt,
+    precision.txt, logl.txt, rmse.txt, heldout.txt, ndcg.txt, max.txt,
+    byusers.tsv/byitems.tsv and model TSVs (see io/checkpoint.py).
+  * reporting every rfreq iterations at pre-increment counter 0, 10, ...
+    (hgaprec.cc:962-971): validation + test likelihood, save_model,
+    precision over freshly sampled users, itemrank (only at iter%100==0),
+    optional ELBO.
+  * stopping rule (hgaprec.cc:1476-1491): after iter 30, stop when the
+    validation likelihood's relative improvement < 1e-6 (why=0) or after
+    3 consecutive decreases (why=1); then do_on_stop(): save model +
+    write the full ranking for test_users.tsv if present (hgaprec.cc:
+    1572-1577, 2087-2112).
+  * SIGTERM sets a flag polled each iteration -> checkpoint + ranking
+    (main.cc:19-30, hgaprec.cc:973-976); training can also *resume* from
+    the native checkpoint (an improvement; the reference cannot).
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from hgaprec_tpu.config import ModelConfig, RunConfig
+from hgaprec_tpu.data.device import DeviceData, build_device_data
+from hgaprec_tpu.data.ratings import (CountMap, RatingsStore,
+                                      leave_one_out_map,
+                                      validation_users_of_movie)
+from hgaprec_tpu.eval import ranking as rank_mod
+from hgaprec_tpu.eval.ranking import EvalIndex
+from hgaprec_tpu.eval.score import pair_loglik
+from hgaprec_tpu.io import checkpoint as ckpt
+from hgaprec_tpu.models.elbo import training_elbo
+from hgaprec_tpu.models.state import ModelState, init_state
+from hgaprec_tpu.models.step import make_step
+
+
+def _pairs_arrays(cmap: CountMap):
+    import jax.numpy as jnp
+    pairs = sorted(cmap.keys())
+    u = jnp.asarray(np.asarray([p[0] for p in pairs], np.int32))
+    i = jnp.asarray(np.asarray([p[1] for p in pairs], np.int32))
+    y = jnp.asarray(np.asarray([cmap[p] for p in pairs], np.float32))
+    return u, i, y
+
+
+class Trainer:
+    def __init__(self, store: RatingsStore, validation: CountMap,
+                 test: CountMap, mcfg: ModelConfig, rcfg: RunConfig,
+                 device_data: Optional[DeviceData] = None):
+        self.store = store
+        self.validation = validation
+        self.test = test
+        self.mcfg = mcfg
+        self.rcfg = rcfg
+        self.outdir = rcfg.resolve_outdir(mcfg)
+        os.makedirs(self.outdir, exist_ok=True)
+        self.data = device_data if device_data is not None else \
+            build_device_data(store)
+        self.step = make_step(mcfg)
+        self.state: ModelState = init_state(mcfg, seed=rcfg.seed)
+        self.iteration = 0
+        self.start_time = time.time()
+        self.index = EvalIndex(validation, test)
+        self.leave_one_out = leave_one_out_map(test)
+        self.val_users_of_movie = validation_users_of_movie(validation)
+        self._val_pairs = _pairs_arrays(validation)
+        self._test_pairs = _pairs_arrays(test)
+        self._prev_h = 0.0
+        self._nh = 0
+        self._stop_requested = False
+        self._rng = np.random.default_rng(
+            (rcfg.seed or 0) + 1000003)  # eval sampling stream
+        self._sampled_users: Optional[np.ndarray] = None
+        self._files: Dict[str, object] = {}
+        self._open_outputs()
+        self._write_param_txt()
+        if rcfg.write_marginals:
+            store.write_marginal_distributions(self.outdir)
+
+    # -- plumbing ----------------------------------------------------------
+    def _open_outputs(self):
+        # reference opens all of these up front (hgaprec.cc:40-75)
+        for name in ("heldout.txt", "validation.txt", "test.txt", "logl.txt",
+                     "precision.txt", "ndcg.txt", "rmse.txt", "infer.log"):
+            self._files[name] = open(os.path.join(self.outdir, name), "w")
+
+    def close(self):
+        for f in self._files.values():
+            f.close()
+        self._files = {}
+
+    def log(self, msg: str):
+        f = self._files.get("infer.log")
+        if f:
+            f.write(msg + "\n")
+            f.flush()
+
+    def _write_param_txt(self):
+        m, r = self.mcfg, self.rcfg
+        with open(os.path.join(self.outdir, "param.txt"), "w") as f:
+            # key: value lines like Env::plog (env.hh:375-402)
+            f.write(f"n: {m.n}\nk: {m.k}\nt: 2\n")
+            f.write("test_ratio: 0.2\nvalidation_ratio: 0.01\n")
+            f.write(f"seed: {r.seed}\n")
+            f.write(f"a: {m.a}\nb: {m.b}\nc: {m.c}\nd: {m.d}\n")
+            f.write(f"reportfreq: {r.rfreq}\n")
+            f.write(f"vb: {int(m.vb)}\nbias: {int(m.bias)}\n")
+            f.write(f"hier: {int(m.hier)}\n")
+            f.write(f"binary_data: {int(m.binary)}\n")
+            f.write(f"variant: {m.variant}\n")
+            f.write(f"rating_threshold: {r.rating_threshold}\n")
+            f.write(f"max_iterations: {r.max_iterations}\n")
+
+    def duration(self) -> int:
+        return int(time.time() - self.start_time)
+
+    def install_sigterm(self):
+        signal.signal(signal.SIGTERM, self._on_sigterm)
+
+    def _on_sigterm(self, signum, frame):
+        self._stop_requested = True
+
+    # -- likelihood + stopping (hgaprec.cc:1439-1501) ----------------------
+    def compute_likelihood(self, validation: bool) -> float:
+        u, i, y = self._val_pairs if validation else self._test_pairs
+        k = int(u.shape[0])
+        if k == 0:
+            return 0.0
+        total, _ = pair_loglik(self.state, self.mcfg, u, i, y)
+        a = float(total) / k
+        fname = "validation.txt" if validation else "test.txt"
+        f = self._files[fname]
+        f.write(f"{self.iteration}\t{self.duration()}\t{a:.9f}\t{k}\n")
+        f.flush()
+        if not validation:
+            return a
+        stop, why = False, -1
+        if self.iteration > 30:
+            if (a > self._prev_h and self._prev_h != 0 and
+                    abs((a - self._prev_h) / self._prev_h) < 1e-6):
+                stop, why = True, 0
+            elif a < self._prev_h:
+                self._nh += 1
+            elif a > self._prev_h:
+                self._nh = 0
+            if self._nh > 2:
+                stop, why = True, 1
+        self._prev_h = a
+        with open(os.path.join(self.outdir, "max.txt"), "w") as f:
+            f.write(f"{self.iteration}\t{self.duration()}\t{a:.5f}\t{why}\n")
+        if stop:
+            self.do_on_stop()
+            self._stop_requested = True
+        return a
+
+    def do_on_stop(self):
+        """save_model + gen_ranking_for_users(false) (hgaprec.cc:1572-1577)."""
+        self.save_model()
+        self.gen_ranking_for_users(load=False)
+
+    # -- model io ----------------------------------------------------------
+    def save_model(self):
+        ckpt.save_model_tsv(self.outdir, self.state, self.mcfg,
+                            self.store.seq2user, self.store.seq2movie)
+        ckpt.save_npz(os.path.join(self.outdir, "model.npz"), self.state,
+                      self.iteration)
+
+    def load_model(self, indir: Optional[str] = None):
+        indir = indir or self.outdir
+        npz = os.path.join(indir, "model.npz")
+        if os.path.exists(npz):
+            self.state, self.iteration = ckpt.load_npz(npz, self.mcfg)
+        else:
+            self.state = ckpt.load_model_tsv(indir, self.mcfg, self.state)
+
+    # -- eval wrappers -----------------------------------------------------
+    def compute_precision(self, save_ranking: bool):
+        if self.iteration % 100 == 0 and self.iteration > 0:
+            save_ranking = True
+        if not save_ranking:
+            # resample each non-saving report (hgaprec.cc:1713-1721)
+            self._sampled_users = rank_mod.sample_users(
+                self._rng, self.store.n, self.rcfg.num_precision_users)
+        if self._sampled_users is None:
+            self._sampled_users = rank_mod.sample_users(
+                self._rng, self.store.n, self.rcfg.num_precision_users)
+        users = self._sampled_users
+        path = os.path.join(self.outdir, "ranking.tsv") if save_ranking \
+            else None
+        return rank_mod.compute_precision(
+            self.state, self.mcfg, self.store, self.index, self.test, users,
+            self._files["precision.txt"], path, self.rcfg.topn_by_user)
+
+    def compute_itemrank(self, final: bool):
+        if self.iteration % 100 == 0 and self.iteration > 0:
+            final = True
+        if not final or self._sampled_users is None:
+            return None
+        return rank_mod.compute_itemrank(self.state, self.mcfg, self.store,
+                                         self.index, self._sampled_users,
+                                         self.outdir)
+
+    def gen_ranking_for_users(self, load: bool):
+        """hgaprec.cc:2087-2112: rank for users in test_users.tsv."""
+        if load:
+            self.load_model()
+        tu_path = os.path.join(self.rcfg.datdir, "test_users.tsv")
+        if not os.path.exists(tu_path):
+            self.log(f"cannot open {tu_path}")
+            return
+        users = self.store.read_test_users(tu_path)
+        if users.size == 0:
+            return
+        self._sampled_users = users
+        rank_mod.compute_precision(
+            self.state, self.mcfg, self.store, self.index, self.test, users,
+            self._files["precision.txt"],
+            os.path.join(self.outdir, "ranking.tsv"),
+            self.rcfg.topn_by_user)
+        rank_mod.compute_itemrank(self.state, self.mcfg, self.store,
+                                  self.index, users, self.outdir)
+
+    def compute_rmse(self) -> float:
+        return rank_mod.compute_rmse(self.state, self.mcfg, self.test,
+                                     self.outdir, self._files["rmse.txt"])
+
+    def gen_msr_csv(self):
+        rank_mod.gen_msr_csv(self.state, self.mcfg, self.store, self.index,
+                             self.leave_one_out, self.val_users_of_movie,
+                             self.outdir)
+
+    def logl(self) -> float:
+        s = float(training_elbo(self.state, self.data, self.mcfg))
+        f = self._files["logl.txt"]
+        f.write(f"{s:.5f}\n")
+        f.flush()
+        return s
+
+    # -- main loop ---------------------------------------------------------
+    def report(self):
+        self.compute_likelihood(True)
+        if self._stop_requested:
+            return
+        self.compute_likelihood(False)
+        if not self.mcfg.mle:
+            self.save_model()
+        self.compute_precision(False)
+        if self.mcfg.variant in ("bpf", "hpf", "canny") and not self.mcfg.bias:
+            # reference: vb/vb_hier/vb_canny also run itemrank
+            self.compute_itemrank(False)
+        if self.rcfg.logl:
+            self.logl()
+
+    def run(self, max_iters: Optional[int] = None) -> ModelState:
+        """Train until the stopping rule fires (or an iteration cap)."""
+        cap = max_iters
+        if cap is None:
+            if self.mcfg.hier or self.rcfg.enforce_max_iterations:
+                cap = self.rcfg.max_iterations
+        while True:
+            if cap is not None and self.iteration > cap:
+                break
+            self.state = self.step(self.state, self.data)
+            if self.iteration % self.rcfg.rfreq == 0:
+                self.report()
+            if self._stop_requested:
+                self.log(f"stopping at iteration {self.iteration} "
+                         f"duration {self.duration()}s")
+                break
+            self.iteration += 1
+        return self.state

@@ -1,0 +1,164 @@
+"""The CAVI phi sweep — the reference hot loop, re-expressed for the MXU.
+
+Reference behavior (hgaprec.cc:928-941 and get_phi at 206-239): for every
+training nonzero (n, m, y), phi = softmax_k(Elog a[n] + Elog b[m] [+ bias
+logits]), scaled by y, accumulated into the user-side and item-side shape
+buffers (gpbase.hh:536-539).
+
+Key identity used here: with A = exp(Elog a), B = exp(Elog b),
+    sum_k exp(Elog a[n,k] + Elog b[m,k]) = (A @ B.T)[n, m]
+so the per-nonzero softmax denominator is a *matmul*, and the accumulated
+y*phi sufficient statistics are
+    acc_a = A ⊙ (W @ B),   acc_b = B ⊙ (W.T @ A),   W = Y / (A@B.T + biases)
+i.e. an SDDMM + two SpMMs. Two execution paths:
+
+  * dense:   stream item blocks of a densified Y through full matmuls —
+             every FLOP lands on the MXU; optimal when the [N, M] tile
+             stream is affordable (MovieLens/Netflix item counts).
+  * segment: gather Elog rows per nonzero, log-softmax, segment-sum over
+             the dual-sorted COO — the general sparse path and the
+             correctness baseline for the Pallas kernel.
+
+Both return identical accumulators: the linear-space sums of y*phi.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from hgaprec_tpu.data.device import DeviceData
+
+
+class SweepResult(NamedTuple):
+    acc_a: jax.Array               # [N, K] sum of y*phi over items of n
+    acc_b: jax.Array               # [M, K] sum of y*phi over users of m
+    acc_bias_a: Optional[jax.Array]  # [N] sum of y*phi[K]   (bias slot)
+    acc_bias_b: Optional[jax.Array]  # [M] sum of y*phi[K+1]
+
+
+def _pad_rows(x: jax.Array, rows: int) -> jax.Array:
+    if x.shape[0] == rows:
+        return x
+    pad = [(0, rows - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad)
+
+
+def sweep_dense(elog_a: jax.Array, elog_b: jax.Array,
+                elog_bias_a: Optional[jax.Array],
+                elog_bias_b: Optional[jax.Array],
+                dense_y: jax.Array, *, item_block: int = 4096,
+                precision: str = "highest") -> SweepResult:
+    """Dense-blocked sweep. dense_y: f32[N, M] counts (0 = no rating)."""
+    prec = None if precision == "default" else jax.lax.Precision.HIGHEST
+    n, m = dense_y.shape
+    k = elog_a.shape[1]
+    dtype = elog_a.dtype
+    a = jnp.exp(elog_a)                      # [N, K]
+    b = jnp.exp(elog_b)                      # [M, K]
+    bias = elog_bias_a is not None
+    ba = jnp.exp(elog_bias_a) if bias else None   # [N]
+    bb = jnp.exp(elog_bias_b) if bias else None   # [M]
+
+    nb = -(-m // item_block)
+    mp = nb * item_block
+    b_blocks = _pad_rows(b, mp).reshape(nb, item_block, k)
+    y_blocks = jnp.moveaxis(
+        jnp.pad(dense_y, ((0, 0), (0, mp - m))).reshape(n, nb, item_block),
+        1, 0)                                 # [nb, N, BI]
+    bb_blocks = (_pad_rows(bb, mp).reshape(nb, item_block) if bias else
+                 jnp.zeros((nb, item_block), dtype))
+
+    def body(carry, blk):
+        acc_a_c, acc_ba_c = carry
+        b_blk, y_blk, bb_blk = blk
+        s = jnp.dot(a, b_blk.T, preferred_element_type=jnp.float32,
+                    precision=prec)                                  # [N, BI]
+        if bias:
+            s = s + ba[:, None] + bb_blk[None, :]
+        w = jnp.where(y_blk > 0, y_blk / s, 0.0).astype(dtype)
+        acc_a_c = acc_a_c + jnp.dot(w, b_blk, precision=prec,
+                                    preferred_element_type=jnp.float32)
+        acc_b_blk = b_blk * jnp.dot(w.T, a, precision=prec,
+                                    preferred_element_type=jnp.float32)
+        if bias:
+            acc_ba_c = acc_ba_c + jnp.sum(w, axis=1)
+            acc_bb_blk = bb_blk * jnp.sum(w, axis=0)
+        else:
+            acc_bb_blk = jnp.zeros((item_block,), dtype)
+        return (acc_a_c, acc_ba_c), (acc_b_blk, acc_bb_blk)
+
+    init = (jnp.zeros((n, k), dtype), jnp.zeros((n,), dtype))
+    (acc_a_raw, acc_ba), (acc_b_blocks, acc_bb_blocks) = jax.lax.scan(
+        body, init, (b_blocks, y_blocks, bb_blocks))
+    acc_a = a * acc_a_raw
+    acc_b = acc_b_blocks.reshape(mp, k)[:m]
+    acc_bb = acc_bb_blocks.reshape(mp)[:m]
+    if bias:
+        acc_ba = ba * acc_ba
+        acc_bb = acc_bb  # already scaled by bb inside body
+        return SweepResult(acc_a, acc_b, acc_ba, acc_bb)
+    return SweepResult(acc_a, acc_b, None, None)
+
+
+def sweep_segment(elog_a: jax.Array, elog_b: jax.Array,
+                  elog_bias_a: Optional[jax.Array],
+                  elog_bias_b: Optional[jax.Array],
+                  data: DeviceData) -> SweepResult:
+    """Gather -> log-softmax -> dual segment-sum sweep over sorted COO."""
+    n, k = elog_a.shape
+    m = elog_b.shape[0]
+    bias = elog_bias_a is not None
+
+    la = elog_a[data.u_ids]                   # [P, K]
+    lb = elog_b[data.i_ids]
+    logits = la + lb
+    if bias:
+        cols = [logits, elog_bias_a[data.u_ids][:, None],
+                elog_bias_b[data.i_ids][:, None]]
+        logits = jnp.concatenate(cols, axis=1)   # [P, K+2]
+    lse = jax.scipy.special.logsumexp(logits, axis=1, keepdims=True)
+    phis = data.y[:, None] * jnp.exp(logits - lse)   # y * phi; 0 on padding
+
+    acc_a = jax.ops.segment_sum(phis[:, :k], data.u_ids, num_segments=n,
+                                indices_are_sorted=True)
+    phis_i = phis[data.item_order]
+    acc_b = jax.ops.segment_sum(phis_i[:, :k], data.i_ids_sorted,
+                                num_segments=m, indices_are_sorted=True)
+    if bias:
+        acc_ba = jax.ops.segment_sum(phis[:, k], data.u_ids, num_segments=n,
+                                     indices_are_sorted=True)
+        acc_bb = jax.ops.segment_sum(phis_i[:, k + 1], data.i_ids_sorted,
+                                     num_segments=m, indices_are_sorted=True)
+        return SweepResult(acc_a, acc_b, acc_ba, acc_bb)
+    return SweepResult(acc_a, acc_b, None, None)
+
+
+def sweep(elog_a, elog_b, elog_bias_a, elog_bias_b, data: DeviceData,
+          mode: str, item_block: int = 4096,
+          precision: str = "highest") -> SweepResult:
+    if mode == "dense":
+        if data.dense_y is None:
+            raise ValueError("dense sweep requested but dense_y not built")
+        return sweep_dense(elog_a, elog_b, elog_bias_a, elog_bias_b,
+                           data.dense_y, item_block=item_block,
+                           precision=precision)
+    return sweep_segment(elog_a, elog_b, elog_bias_a, elog_bias_b, data)
+
+
+def nonzero_logsumexp_sum(elog_a, elog_b, elog_bias_a, elog_bias_b,
+                          data: DeviceData, weights: jax.Array) -> jax.Array:
+    """sum over nonzeros of weights * logsumexp(logits) — ELBO helper.
+
+    Matches the y^2 * lse collapse of the reference's phi-entropy term in
+    logl() (hgaprec.cc:2217-2235); see models/elbo.py.
+    """
+    logits = elog_a[data.u_ids] + elog_b[data.i_ids]
+    if elog_bias_a is not None:
+        logits = jnp.concatenate(
+            [logits, elog_bias_a[data.u_ids][:, None],
+             elog_bias_b[data.i_ids][:, None]], axis=1)
+    lse = jax.scipy.special.logsumexp(logits, axis=1)
+    return jnp.sum(jnp.where(data.y > 0, weights * lse, 0.0))

@@ -1,0 +1,91 @@
+"""Sweep-path equivalence: dense MXU path == segment path == naive loop."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hgaprec_tpu.data.device import build_device_data
+from hgaprec_tpu.ops.sweep import sweep_dense, sweep_segment
+
+
+def naive_sweep(elog_a, elog_b, bias_a, bias_b, u, i, y):
+    """Literal re-statement of the reference loop (hgaprec.cc:928-941)."""
+    n, k = elog_a.shape
+    m = elog_b.shape[0]
+    acc_a = np.zeros((n, k))
+    acc_b = np.zeros((m, k))
+    acc_ba = np.zeros(n)
+    acc_bb = np.zeros(m)
+    for a_idx, b_idx, yy in zip(u, i, y):
+        logits = elog_a[a_idx] + elog_b[b_idx]
+        if bias_a is not None:
+            logits = np.concatenate([logits, [bias_a[a_idx]],
+                                     [bias_b[b_idx]]])
+        ex = np.exp(logits - logits.max())
+        phi = ex / ex.sum()
+        phi = phi * yy
+        acc_a[a_idx] += phi[:k]
+        acc_b[b_idx] += phi[:k]
+        if bias_a is not None:
+            acc_ba[a_idx] += phi[k]
+            acc_bb[b_idx] += phi[k + 1]
+    return acc_a, acc_b, acc_ba, acc_bb
+
+
+def _setup(rng, bias, n=17, m=13, k=5, nnz=60):
+    from hgaprec_tpu.data.ratings import RatingsStore
+    store = RatingsStore(n, m)
+    seen = set()
+    while len(seen) < nnz:
+        seen.add((int(rng.integers(0, n)), int(rng.integers(0, m))))
+    u, i = np.array(sorted(seen)).T
+    y = rng.integers(1, 6, size=u.size)
+    store.add_training(u, i, y)
+    store.finalize()
+    data = build_device_data(store, pad_multiple=64)
+    elog_a = rng.normal(size=(store.n, k)) * 0.5 - 1.0
+    elog_b = rng.normal(size=(store.m, k)) * 0.5 - 1.0
+    ba = rng.normal(size=store.n) - 2.0 if bias else None
+    bb = rng.normal(size=store.m) - 2.0 if bias else None
+    return store, data, elog_a, elog_b, ba, bb
+
+
+@pytest.mark.parametrize("bias", [False, True])
+def test_paths_agree(rng, bias):
+    store, data, elog_a, elog_b, ba, bb = _setup(rng, bias)
+    ref = naive_sweep(elog_a, elog_b, ba, bb,
+                      store.coo_u, store.coo_i, store.coo_y)
+
+    j = lambda x: None if x is None else jnp.asarray(x, jnp.float32)
+    seg = sweep_segment(j(elog_a), j(elog_b), j(ba), j(bb), data)
+    np.testing.assert_allclose(np.asarray(seg.acc_a), ref[0], rtol=2e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(seg.acc_b), ref[1], rtol=2e-4,
+                               atol=1e-5)
+
+    den = sweep_dense(j(elog_a), j(elog_b), j(ba), j(bb), data.dense_y,
+                      item_block=8)
+    np.testing.assert_allclose(np.asarray(den.acc_a), ref[0], rtol=2e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(den.acc_b), ref[1], rtol=2e-4,
+                               atol=1e-5)
+    if bias:
+        np.testing.assert_allclose(np.asarray(seg.acc_bias_a), ref[2],
+                                   rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(den.acc_bias_a), ref[2],
+                                   rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(seg.acc_bias_b), ref[3],
+                                   rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(den.acc_bias_b), ref[3],
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_padding_contributes_nothing(rng):
+    store, data, elog_a, elog_b, _, _ = _setup(rng, False)
+    j = lambda x: jnp.asarray(x, jnp.float32)
+    small = build_device_data(store, pad_multiple=64)
+    big = build_device_data(store, pad_multiple=256)
+    s1 = sweep_segment(j(elog_a), j(elog_b), None, None, small)
+    s2 = sweep_segment(j(elog_a), j(elog_b), None, None, big)
+    np.testing.assert_allclose(np.asarray(s1.acc_a), np.asarray(s2.acc_a),
+                               rtol=1e-6)
