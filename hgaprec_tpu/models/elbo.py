@@ -76,3 +76,50 @@ def training_elbo(state: ModelState, data: DeviceData,
         s += elbo_term(tb.shape, tb.rate, tb.e, tb.elog, 0.3, 0.3)
         s += elbo_term(bb.shape, bb.rate, bb.e, bb.elog, 0.3, 0.3)
     return s
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def true_elbo(state: ModelState, data: DeviceData,
+              cfg: ModelConfig) -> jax.Array:
+    """The actual Poisson-factorization ELBO (not the reference's report).
+
+    With the multinomial responsibilities phi set to their exact coordinate
+    optimum, the data term is sum_nz (y*lse - log y!) and the Poisson mass
+    term runs over ALL pairs: sum_k colsum(E theta)_k * colsum(E beta)_k
+    (+ full bias mass). Used for monotonicity property tests — exact CAVI
+    must never decrease this quantity across full update rounds.
+    """
+    theta, beta = state.theta, state.beta
+    logits = theta.elog[data.u_ids] + beta.elog[data.i_ids]
+    if cfg.bias:
+        logits = jnp.concatenate(
+            [logits, state.theta_bias.elog[data.u_ids][:, None],
+             state.beta_bias.elog[data.i_ids][:, None]], axis=1)
+    lse = jax.scipy.special.logsumexp(logits, axis=1)
+    y = data.y
+    live = y > 0
+    s = jnp.sum(jnp.where(live,
+                          y * lse - jax.lax.lgamma(jnp.maximum(y, 1.0) + 1.0),
+                          0.0))
+    s -= jnp.sum(jnp.sum(theta.e, axis=0) * jnp.sum(beta.e, axis=0))
+    if cfg.bias:
+        s -= cfg.m * jnp.sum(state.theta_bias.e)
+        s -= cfg.n * jnp.sum(state.beta_bias.e)
+    if not cfg.hier:
+        s += elbo_term(theta.shape, theta.rate, theta.e, theta.elog,
+                       cfg.a, cfg.b)
+        s += elbo_term(beta.shape, beta.rate, beta.e, beta.elog,
+                       cfg.c, cfg.d)
+    else:
+        xi, eta = state.theta_rate, state.beta_rate
+        s += elbo_term(theta.shape, theta.rate, theta.e, theta.elog,
+                       cfg.a, xi.e, xi.elog)
+        s += elbo_term(beta.shape, beta.rate, beta.e, beta.elog,
+                       cfg.c, eta.e, eta.elog)
+        s += elbo_term(xi.shape, xi.rate, xi.e, xi.elog, cfg.ap, cfg.bp)
+        s += elbo_term(eta.shape, eta.rate, eta.e, eta.elog, cfg.cp, cfg.dp)
+    if cfg.bias:
+        tb, bb = state.theta_bias, state.beta_bias
+        s += elbo_term(tb.shape, tb.rate, tb.e, tb.elog, 0.3, 0.3)
+        s += elbo_term(bb.shape, bb.rate, bb.e, bb.elog, 0.3, 0.3)
+    return s
