@@ -252,6 +252,11 @@ def load_dataset(datdir: str, max_n: int, max_m: int, binary: bool,
     store = RatingsStore(max_n, max_m, binary, rating_threshold)
     store.read_generic(os.path.join(datdir, "train.tsv"), None)
     store.finalize()
+    # Reference parity: Ratings::read() resets env.n/env.m to the training
+    # counts (ratings.cc:34-36), so later validation/test reads cannot mint
+    # new ids — unseen users/items there are dropped (ratings.cc:80-84).
+    store.max_n = store.n
+    store.max_m = store.m
     validation: CountMap = {}
     test: CountMap = {}
     store.read_generic(os.path.join(datdir, "validation.tsv"), validation)

@@ -19,6 +19,9 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+# the XLA AOT sub-caches embed host CPU features and warn loudly when the
+# sandbox migrates; the jit cache alone gives the speedup we need
+jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
 import numpy as np
 import pytest
