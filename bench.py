@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Benchmark: HPF K=100 CAVI on MovieLens-1M-scale synthetic data.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+value        = CAVI iterations/second on the available accelerator
+vs_baseline  = speedup over a single-threaded C++ restatement of the
+               reference's per-nonzero sweep (the reference itself needs
+               GSL, absent here; native/ref_cavi_bench.cc reproduces its
+               computational pattern: double-precision scalar loops,
+               log-chain normalization, digamma expectations). The
+               reference preset is MovieLens N=6040 M=3681 K=100
+               (scripts/run.pl:109-112).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(ROOT, ".bench_cache")
+N, M, K = 6040, 3681, 100
+SEED = 20260817
+TPU_TIMED_ITERS = 20
+REF_ITERS = 2
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def get_dataset():
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, f"ml1m_{N}x{M}_{SEED}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return z["u"], z["i"], z["y"]
+    from hgaprec_tpu.data.synthetic import generate_pf_counts
+    rng = np.random.default_rng(SEED)
+    # tuned for ~1M nonzeros at 6040x3681 (ML-1M density ~4.5%)
+    u, i, y = generate_pf_counts(rng, N, M, k=8, a=0.3, ap=1.8, b=0.3,
+                                 scale=0.7)
+    np.savez_compressed(path, u=u, i=i, y=y)
+    return u, i, y
+
+
+def build_store(u, i, y):
+    from hgaprec_tpu.data.ratings import RatingsStore
+    store = RatingsStore(N, M)
+    # vectorized ingest: ids are already dense/contiguous
+    store.user2seq = {int(x): int(x) for x in range(N)}
+    store.seq2user = dict(store.user2seq)
+    store.movie2seq = {int(x): int(x) for x in range(M)}
+    store.seq2movie = dict(store.movie2seq)
+    store._u = list(u)
+    store._i = list(i)
+    store._y = list(np.minimum(y, 255))
+    store.finalize()
+    return store
+
+
+def time_tpu(store):
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(ROOT, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+    from hgaprec_tpu.config import ModelConfig
+    from hgaprec_tpu.data.device import build_device_data
+    from hgaprec_tpu.models.state import init_state
+    from hgaprec_tpu.models.step import make_step
+
+    platform = jax.devices()[0].platform
+    log(f"device: {jax.devices()[0]} ({platform})")
+    cfg = ModelConfig(n=store.n, m=store.m, k=K, variant="hpf",
+                      sweep="dense")
+    data = build_device_data(store, pad_multiple=4096)
+    state = init_state(cfg, seed=1)
+    step = make_step(cfg)
+    # warmup/compile
+    t0 = time.time()
+    state = step(state, data)
+    jax.block_until_ready(state)
+    log(f"compile+first step: {time.time() - t0:.2f}s")
+    for _ in range(2):
+        state = step(state, data)
+    jax.block_until_ready(state)
+    t0 = time.time()
+    for _ in range(TPU_TIMED_ITERS):
+        state = step(state, data)
+    jax.block_until_ready(state)
+    dt = (time.time() - t0) / TPU_TIMED_ITERS
+    log(f"tpu: {dt * 1e3:.2f} ms/iter")
+    return dt, platform
+
+
+def time_reference(store):
+    exe = os.path.join(CACHE, "ref_cavi_bench")
+    src = os.path.join(ROOT, "native", "ref_cavi_bench.cc")
+    if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
+        log("compiling C++ baseline...")
+        subprocess.check_call(["g++", "-O3", "-march=native", "-o", exe, src])
+    data_bin = os.path.join(CACHE, f"ml1m_{SEED}.bin")
+    if not os.path.exists(data_bin):
+        with open(data_bin, "wb") as f:
+            np.asarray([store.n, store.m, K, store.coo_y.size],
+                       np.int64).tofile(f)
+            store.row_ptr.astype(np.int64).tofile(f)
+            store.coo_i.astype(np.int32).tofile(f)
+            store.coo_y.astype(np.float32).tofile(f)
+    t0 = time.time()
+    out = subprocess.check_output([exe, data_bin, str(REF_ITERS)],
+                                  text=True)
+    log(f"ref total: {time.time() - t0:.1f}s -> {out.strip()}")
+    return float(out.split()[1])
+
+
+def main():
+    u, i, y = get_dataset()
+    log(f"dataset: {N}x{M}, nnz={u.size}")
+    store = build_store(u, i, y)
+    t_tpu, platform = time_tpu(store)
+    try:
+        t_ref = time_reference(store)
+    except Exception as e:  # keep the bench alive without a toolchain
+        log(f"reference baseline failed: {e}")
+        t_ref = None
+    result = {
+        "metric": f"hpf_cavi_ml1m_k{K}_iters_per_sec_{platform}",
+        "value": round(1.0 / t_tpu, 3),
+        "unit": "iter/s",
+        "vs_baseline": round(t_ref / t_tpu, 2) if t_ref else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
