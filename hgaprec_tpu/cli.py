@@ -1,0 +1,387 @@
+"""Command-line driver with the reference's flag surface.
+
+Flag names and mode dispatch mirror /root/reference/src/main.cc:100-366
+(hand-rolled argv scan, same strings), so existing hgaprec invocations
+work unchanged:
+
+  hgaprec-tpu -dir DATA -n N -m M -k K [-hier] [-bias] [-binary-data]
+              [-a -b -c -d] [-rfreq R] [-seed S] [-max-iterations I]
+              [-mle-user|-mle-item|-canny] [-novb] [-label L]
+              [-rating-threshold T] [-logl] [-gen-ranking] [-msr] [-rmse]
+              [-write-training] [-lda|-vwlda|-nmf|-nmfload|-vwload]
+              [-chi [-als|-wals|-chinmf|-climf]] [-ctr]
+
+TPU-native extensions: -sweep dense|segment|auto, -devices D (shard over
+a D-chip mesh), -resume (continue training from the native checkpoint),
+-outdir PATH, -cpu (force the CPU backend).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def _usage():
+    print(__doc__)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        _usage()
+        return 0
+
+    o = {
+        "dir": ".", "n": 0, "m": 0, "k": 0, "rfreq": 10, "label": "",
+        "logl": False, "max_iterations": 1000, "seed": 0.0, "load": False,
+        "load_loc": "", "test": False, "batch": True, "online": False,
+        "gen_heldout": False, "a": 0.3, "b": 0.3, "c": 0.3, "d": 0.3,
+        "binary": False, "bias": False, "hier": False, "mle_user": False,
+        "mle_item": False, "canny": False, "gen_ranking": False,
+        "rmse": False, "vb": True, "msr": False, "nmf": False,
+        "nmfload": False, "vwload": False, "lda": False, "vwlda": False,
+        "write_training": False, "chi": False, "chinmf": False,
+        "als": False, "wals": False, "wals_l": 0.1, "wals_C": 10,
+        "climf": False, "ctr": False, "rating_threshold": 1,
+        "dataset": "movielens", "strid": False,
+        # TPU-native extensions
+        "sweep": "auto", "devices": 0, "resume": False, "outdir": None,
+        "cpu": False, "item_block": 4096, "precision": "highest",
+    }
+
+    i = 0
+    def nexta():
+        nonlocal i
+        i += 1
+        return argv[i]
+    while i < len(argv):
+        arg = argv[i]
+        if arg == "-dir":
+            o["dir"] = nexta()
+        elif arg == "-n":
+            o["n"] = int(nexta())
+        elif arg == "-m":
+            o["m"] = int(nexta())
+        elif arg == "-k":
+            o["k"] = int(nexta())
+        elif arg == "-rfreq":
+            o["rfreq"] = int(nexta())
+        elif arg == "-strid":
+            o["strid"] = True
+        elif arg == "-label":
+            o["label"] = nexta()
+        elif arg == "-logl":
+            o["logl"] = True
+        elif arg == "-max-iterations":
+            o["max_iterations"] = int(nexta())
+        elif arg == "-seed":
+            o["seed"] = float(nexta())
+        elif arg == "-load":
+            o["load"] = True
+            o["load_loc"] = nexta()
+        elif arg == "-test":
+            o["test"] = True
+        elif arg == "-batch":
+            o["batch"] = True
+        elif arg == "-online":
+            o["batch"] = False
+        elif arg == "-gen-heldout":
+            o["gen_heldout"] = True
+        elif arg in ("-netflix", "-mendeley", "-movielens", "-echonest",
+                     "-nyt"):
+            o["dataset"] = arg[1:]
+        elif arg == "-a":
+            o["a"] = float(nexta())
+        elif arg == "-b":
+            o["b"] = float(nexta())
+        elif arg == "-c":
+            o["c"] = float(nexta())
+        elif arg == "-d":
+            o["d"] = float(nexta())
+        elif arg == "-binary-data":
+            o["binary"] = True
+        elif arg == "-bias":
+            o["bias"] = True
+        elif arg == "-hier":
+            o["hier"] = True
+        elif arg == "-mle-user":
+            o["mle_user"] = True
+        elif arg == "-mle-item":
+            o["mle_item"] = True
+        elif arg == "-canny":
+            o["canny"] = True
+        elif arg == "-gen-ranking":
+            o["gen_ranking"] = True
+        elif arg == "-rmse":
+            o["rmse"] = True
+        elif arg == "-novb":
+            o["vb"] = False
+        elif arg == "-msr":
+            o["msr"] = True
+        elif arg == "-nmf":
+            o["nmf"] = True
+        elif arg == "-nmfload":
+            o["nmfload"] = True
+        elif arg == "-vwload":
+            o["vwload"] = True
+        elif arg == "-lda":
+            o["lda"] = True
+        elif arg == "-vwlda":
+            o["vwlda"] = True
+        elif arg == "-write-training":
+            o["write_training"] = True
+        elif arg == "-chi":
+            o["chi"] = True
+        elif arg == "-chinmf":
+            o["chinmf"] = True
+        elif arg == "-als":
+            o["als"] = True
+        elif arg == "-wals":
+            o["wals"] = True
+        elif arg == "-wals_l":
+            o["wals_l"] = float(nexta())
+        elif arg == "-wals_C":
+            o["wals_C"] = int(nexta())
+        elif arg == "-climf":
+            o["climf"] = True
+        elif arg == "-ctr":
+            o["ctr"] = True
+        elif arg == "-rating-threshold":
+            o["rating_threshold"] = int(nexta())
+        elif arg == "-sweep":
+            o["sweep"] = nexta()
+        elif arg == "-devices":
+            o["devices"] = int(nexta())
+        elif arg == "-resume":
+            o["resume"] = True
+        elif arg == "-outdir":
+            o["outdir"] = nexta()
+        elif arg == "-cpu":
+            o["cpu"] = True
+        elif arg == "-item-block":
+            o["item_block"] = int(nexta())
+        elif arg == "-precision":
+            o["precision"] = nexta()
+        elif arg in ("-h", "--help"):
+            _usage()
+            return 0
+        else:
+            print(f"error: unknown option {arg}")
+            return 1
+        i += 1
+
+    if o["cpu"]:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from hgaprec_tpu.config import ModelConfig, RunConfig
+    from hgaprec_tpu.data.ratings import load_dataset
+
+    variant = "bpf"
+    if o["hier"]:
+        variant = "hpf"
+    elif o["mle_user"]:
+        variant = "mle_user"
+    elif o["mle_item"]:
+        variant = "mle_item"
+    elif o["canny"]:
+        variant = "canny"
+
+    print(f"+ reading ratings dataset from {o['dir']}")
+    store, validation, test = load_dataset(
+        o["dir"], o["n"], o["m"], o["binary"], o["rating_threshold"])
+    print(f"read {store.n} users, {store.m} movies, "
+          f"{store.nratings} ratings")
+
+    mcfg = ModelConfig(
+        n=store.n, m=store.m, k=o["k"], variant=variant, bias=o["bias"],
+        binary=o["binary"], vb=o["vb"], a=o["a"], b=o["b"], c=o["c"],
+        d=o["d"], sweep=o["sweep"], item_block=o["item_block"],
+        matmul_precision=o["precision"])
+    rcfg = RunConfig(
+        datdir=o["dir"], outdir=o["outdir"], label=o["label"],
+        rfreq=o["rfreq"], max_iterations=o["max_iterations"],
+        seed=int(o["seed"]), rating_threshold=o["rating_threshold"],
+        logl=o["logl"], batch=o["batch"])
+
+    from hgaprec_tpu.models.engine import Trainer
+    tr = Trainer(store, validation, test, mcfg, rcfg)
+    tr.install_sigterm()
+    print(f"+ output directory: {tr.outdir}")
+
+    try:
+        return _dispatch(o, store, validation, test, mcfg, rcfg, tr)
+    finally:
+        tr.close()
+
+
+def _dispatch(o, store, validation, test, mcfg, rcfg, tr) -> int:
+    from hgaprec_tpu.data import formats
+    from hgaprec_tpu.eval import ranking as rank_mod
+    from hgaprec_tpu.eval.score import scorer_from_foreign
+
+    def rank_foreign(theta, beta, bias_u=None, bias_i=None, gmean=0.0):
+        """load_*_beta_and_theta tail: rank for test_users (hgaprec.cc:
+        827-831 etc.)."""
+        sc = scorer_from_foreign(theta, beta, bias_u, bias_i, gmean)
+        tu = os.path.join(o["dir"], "test_users.tsv")
+        if not os.path.exists(tu):
+            print(f"cannot open {tu}")
+            return
+        users = store.read_test_users(tu)
+        rank_mod.compute_precision(
+            sc, store, tr.index, test, users, tr._files["precision.txt"],
+            os.path.join(tr.outdir, "ranking.tsv"))
+        print("DONE writing ranking.tsv in output directory")
+
+    if o["rmse"]:
+        if o["load"]:
+            tr.load_model(o["load_loc"])
+        tr.compute_rmse()
+        return 0
+
+    if o["chi"]:
+        formats.write_chi_training_matrix(store, validation, tr.outdir,
+                                          wals=o["wals"],
+                                          wals_c=o["wals_C"])
+        tool = ("nmf" if o["chinmf"] else "als" if o["als"] else
+                "wals" if o["wals"] else "climf" if o["climf"] else None)
+        if tool:
+            root = os.environ.get("GRAPHCHI_ROOT", "")
+            cmd = formats.chi_command(tool, tr.outdir, mcfg.k,
+                                      graphchi_root=root or "graphchi-cpp")
+            print(f"+ external command: {cmd}")
+            if root:
+                os.system(cmd)
+                base = "chifull.tsv" if o["chinmf"] else "chitrain.tsv"
+                theta = formats.mm_load_rowmajor(
+                    os.path.join(tr.outdir, f"{base}_U.mm"), store.n,
+                    mcfg.k)
+                beta = formats.mm_load_rowmajor(
+                    os.path.join(tr.outdir, f"{base}_V.mm"), store.m,
+                    mcfg.k)
+                rank_foreign(theta, beta)
+            else:
+                print("GRAPHCHI_ROOT not set; wrote matrices only")
+        return 0
+
+    if o["test"]:
+        from hgaprec_tpu.models.coldstart import fold_in_users, top_items
+        tr.load_model(o["load_loc"] if o["load"] else None)
+        seeds = [[0, min(1, store.m - 1)]]
+        _, scores = fold_in_users(tr.state, mcfg, seeds)
+        for rank_list in top_items(scores, seeds):
+            for mm in rank_list:
+                print(store.seq2movie.get(mm, mm))
+        return 0
+
+    if o["msr"]:
+        tr.load_model(o["load_loc"] if o["load"] else None)
+        tr.gen_msr_csv()
+        return 0
+
+    if o["write_training"]:
+        if o["lda"]:
+            formats.write_lda_training_matrix(
+                store, os.path.join(tr.outdir, "ldatrain.tsv"))
+        elif o["nmf"]:
+            formats.write_nmf_training_matrix(
+                store, os.path.join(tr.outdir, "trainm.tsv"))
+        elif o["vwlda"]:
+            formats.write_vwlda_training_matrix(
+                store, os.path.join(tr.outdir, "ldatrain.tsv"))
+        return 0
+
+    if o["nmf"]:
+        from hgaprec_tpu.ops.nmf import nmf
+        dense = np.zeros((store.n, store.m), np.float32)
+        dense[store.coo_u, store.coo_i] = store.coo_y
+        theta, beta = nmf(dense, mcfg.k)
+        from hgaprec_tpu.io.checkpoint import _save_mat
+        _save_mat(os.path.join(tr.outdir, "nmf_theta.tsv"), theta, {})
+        _save_mat(os.path.join(tr.outdir, "nmf_beta.tsv"), beta, {})
+        rank_foreign(theta, beta)
+        return 0
+
+    if o["lda"]:
+        theta, beta = formats.load_lda_factors(store.n, store.m, mcfg.k)
+        rank_foreign(theta, beta)
+        return 0
+
+    if o["vwlda"]:
+        formats.write_vwlda_training_matrix(
+            store, os.path.join(tr.outdir, "ldatrain.tsv"))
+        vw = os.environ.get("VW_BINARY", "")
+        cmd = formats.vwlda_command(tr.outdir, mcfg.k, store.n, store.m,
+                                    vw_binary=vw or "vw")
+        print(f"+ external command: {cmd}")
+        if vw:
+            os.system(cmd)
+            theta, beta = formats.load_vwlda_factors(
+                store.n, store.m, mcfg.k,
+                os.path.join(tr.outdir, "gamma.tsv"),
+                os.path.join(tr.outdir, "beta.tsv"))
+            rank_foreign(theta, beta)
+        return 0
+
+    if o["vwload"]:
+        theta, beta = formats.load_vwlda_factors(
+            store.n, store.m, mcfg.k, os.path.join(tr.outdir, "gamma.tsv"),
+            os.path.join(tr.outdir, "beta.tsv"))
+        rank_foreign(theta, beta)
+        return 0
+
+    if o["ctr"]:
+        theta, beta, umap, imap = formats.load_ctr_factors(
+            store.n, store.m, mcfg.k)
+        rank_foreign(theta, beta)
+        return 0
+
+    if o["gen_ranking"]:
+        tr.gen_ranking_for_users(load=True)
+        return 0
+
+    if not o["batch"]:
+        # parity: reference prints this and quits (main.cc:361-365)
+        print("Quitting. Online inference not implemented.")
+        return 0
+
+    if o["resume"]:
+        npz = os.path.join(tr.outdir, "model.npz")
+        if os.path.exists(npz):
+            tr.load_model()
+            print(f"+ resuming from iteration {tr.iteration}")
+    if o["devices"] > 1:
+        print(f"+ sharding over {o['devices']} devices")
+        _run_sharded(tr, mcfg, rcfg, o["devices"])
+    else:
+        tr.run()
+    return 0
+
+
+def _run_sharded(tr, mcfg, rcfg, ndev):
+    """Training loop with the user-row sharded step."""
+    import jax
+    from hgaprec_tpu.parallel.sharded import build_sharded_run, make_mesh
+    mesh = make_mesh(jax.devices()[:ndev])
+    run = build_sharded_run(tr.store, mcfg, mesh, seed=rcfg.seed)
+    cap = rcfg.max_iterations if mcfg.hier else None
+    while True:
+        if cap is not None and tr.iteration > cap:
+            break
+        run.step()
+        if tr.iteration % rcfg.rfreq == 0:
+            tr.state = run.unsharded_state()
+            tr.report()
+        if tr._stop_requested:
+            break
+        tr.iteration += 1
+    tr.state = run.unsharded_state()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

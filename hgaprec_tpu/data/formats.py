@@ -1,0 +1,237 @@
+"""Baseline-bridge file formats: exporters and factor importers.
+
+Re-implements the reference's export/import surface so foreign factors
+(graphchi ALS/WALS/CLIMF/SGD/PMF/NMF, lda-c, vowpal-wabbit LDA, CTR,
+libNMF) can be scored by the native eval pipeline:
+
+  * write_lda_training_matrix  (hgaprec.cc:274-311): "deg item:y ..." rows
+  * write_vwlda_training_matrix (671-707): "| item:y ..." rows
+  * write_nmf_training_matrix   (710-761): dense count dump with nrows/m
+    header (the reference's dense export is reproduced for compatibility,
+    not as a pattern)
+  * write_chi_training_matrix   (313-416): MatrixMarket coordinate files
+    chifull/chitrain/chivalidation.tsv, WALS confidence 1 + y*C encoding
+  * mm_load_rowmajor            (matrix.hh:1268-1310): 3 header lines then
+    whitespace values filling row-major
+  * load_lda_factors            (763-796): gamma row-normalized, beta
+    exp()'d (lda-c stores log probs)
+  * load_vwlda_factors          (798-831): vw --readable_model layout
+    (11 header rows, leading id column, transposed), both row-normalized
+  * load_ctr_factors            (418-476): final-U.dat/final-V.dat + id
+    map CSVs
+  * nmf output loader           (matrix.hh:1370-1423 semantics)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from hgaprec_tpu.data.ratings import CountMap, RatingsStore
+
+
+def _nonempty_users(store: RatingsStore) -> np.ndarray:
+    return np.nonzero(store.user_degrees() > 0)[0]
+
+
+def write_lda_training_matrix(store: RatingsStore, path: str) -> int:
+    x = 0
+    with open(path, "w") as f:
+        for n in _nonempty_users(store):
+            items = store.items_of_user(int(n))
+            x += 1
+            parts = [f"{items.size} "]
+            parts += [f" {int(m)}:{store.r(int(n), int(m))}" for m in items]
+            f.write("".join(parts) + "\n")
+    return x
+
+
+def write_vwlda_training_matrix(store: RatingsStore, path: str) -> int:
+    x = 0
+    with open(path, "w") as f:
+        for n in _nonempty_users(store):
+            items = store.items_of_user(int(n))
+            x += 1
+            parts = ["|"]
+            parts += [f" {int(m)}:{store.r(int(n), int(m))}" for m in items]
+            f.write("".join(parts) + "\n")
+    return x
+
+
+def write_nmf_training_matrix(store: RatingsStore, path: str) -> int:
+    users = _nonempty_users(store)
+    dense = np.zeros((store.n, store.m), np.int64)
+    dense[store.coo_u, store.coo_i] = store.coo_y
+    with open(path, "w") as f:
+        f.write(f"{users.size}\n{store.m}\n")
+        for n in users:
+            f.write("\t".join(str(v) for v in dense[n]) + "\t\n")
+    return users.size
+
+
+def write_chi_training_matrix(store: RatingsStore, validation: CountMap,
+                              outdir: str, *, wals: bool = False,
+                              wals_c: float = 10.0) -> None:
+    """MatrixMarket coordinate exports (hgaprec.cc:313-416)."""
+    header = "%%MatrixMarket matrix coordinate real general\n"
+    users_t = set()
+    items_t = set()
+    lines_t = []
+    for n in _nonempty_users(store):
+        users_t.add(int(n))
+        for m in store.items_of_user(int(n)):
+            y = store.r(int(n), int(m))
+            items_t.add(int(m))
+            if wals:
+                lines_t.append(f"{n + 1} {m + 1} {int(1 + y * wals_c)} "
+                               f"{1 if y > 0 else 0}\n")
+            else:
+                lines_t.append(f"{n + 1} {m + 1} {y}\n")
+    users_v = set()
+    items_v = set()
+    lines_v = []
+    for (n, m), y in sorted(validation.items()):
+        users_v.add(n)
+        items_v.add(m)
+        if wals:
+            lines_v.append(f"{n + 1} {m + 1} {int(1 + y * wals_c)} "
+                           f"{1 if y > 0 else 0}\n")
+        else:
+            lines_v.append(f"{n + 1} {m + 1} {y}\n")
+    with open(os.path.join(outdir, "chifull.tsv"), "w") as f:
+        f.write(header)
+        f.write(f"{len(users_t | users_v)}\t{len(items_t | items_v)}\t"
+                f"{len(lines_t) + len(lines_v)}\n")
+        f.writelines(lines_t)
+        f.writelines(lines_v)
+    with open(os.path.join(outdir, "chitrain.tsv"), "w") as f:
+        f.write(header)
+        f.write(f"{len(users_t)}\t{len(items_t)}\t{len(lines_t)}\n")
+        f.writelines(lines_t)
+    with open(os.path.join(outdir, "chivalidation.tsv"), "w") as f:
+        f.write(header)
+        f.write(f"{len(users_v)}\t{len(items_v)}\t{len(lines_v)}\n")
+        f.writelines(lines_v)
+
+
+def mm_load_rowmajor(path: str, rows: int, cols: int) -> np.ndarray:
+    """matrix.hh:1268-1310: skip 3 header lines, then values row-major."""
+    vals = []
+    with open(path) as f:
+        for li, line in enumerate(f):
+            if li < 3:
+                continue
+            vals.extend(float(v) for v in line.split())
+    out = np.zeros(rows * cols)
+    take = min(len(vals), rows * cols)
+    out[:take] = vals[:take]
+    return out.reshape(rows, cols)
+
+
+def load_dense_table(path: str, rows: int, cols: int, *, skipcols: int = 0,
+                     skiprows: int = 0, transpose: bool = False
+                     ) -> np.ndarray:
+    """matrix.hh D2Array::load semantics: line-per-row numeric table with
+    optional leading id columns, header rows, and transposed fill."""
+    out = np.zeros((rows, cols))
+    with open(path) as f:
+        m = 0
+        for li, line in enumerate(f):
+            if li < skiprows:
+                continue
+            nums = []
+            for tok in line.split():
+                try:
+                    nums.append(float(tok))
+                except ValueError:
+                    break
+            nums = nums[skipcols:]
+            if not nums:
+                continue
+            if transpose:
+                take = min(len(nums), rows)
+                out[:take, m] = nums[:take]
+                if m >= cols - 1:
+                    break
+            else:
+                take = min(len(nums), cols)
+                out[m, :take] = nums[:take]
+                if m >= rows - 1:
+                    break
+            m += 1
+    return out
+
+
+def load_lda_factors(n: int, m: int, k: int, gamma_path: str = "gamma.tsv",
+                     beta_path: str = "beta.tsv"
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """lda-c output: gamma [n,k] row-normalized; beta [k,m] log-probs
+    exponentiated (hgaprec.cc:763-774). Returns (theta [n,k], beta_mt
+    [m,k]) ready for the Scorer (prediction_score_lda uses
+    theta[n]·beta[:,m], hgaprec.cc:1957-1966)."""
+    gamma = load_dense_table(gamma_path, n, k)
+    beta = load_dense_table(beta_path, k, m)
+    gamma = gamma / np.maximum(gamma.sum(1, keepdims=True), 1e-30)
+    beta = np.exp(beta)
+    return gamma, beta.T.copy()
+
+
+def load_vwlda_factors(n: int, m: int, k: int, gamma_path: str,
+                       beta_path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """vw --lda output (hgaprec.cc:798-815): beta from the readable model
+    (11 header rows, 1 id column, transposed fill), both row-normalized."""
+    gamma = load_dense_table(gamma_path, n, k)
+    beta = load_dense_table(beta_path, k, m, skipcols=1, skiprows=11,
+                            transpose=True)
+    gamma = gamma / np.maximum(gamma.sum(1, keepdims=True), 1e-30)
+    beta = beta / np.maximum(beta.sum(1, keepdims=True), 1e-30)
+    return gamma, beta.T.copy()
+
+
+def load_ctr_factors(n: int, m: int, k: int, directory: str = "."
+                     ) -> Tuple[np.ndarray, np.ndarray, Dict[int, int],
+                                Dict[int, int]]:
+    """CTR output (hgaprec.cc:418-445): final-U.dat/final-V.dat + id maps
+    user_map.dat/item_map.dat with 'ext,idx' rows."""
+    theta = load_dense_table(os.path.join(directory, "final-U.dat"), n, k)
+    beta = load_dense_table(os.path.join(directory, "final-V.dat"), m, k)
+
+    def read_map(path):
+        out: Dict[int, int] = {}
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    a, b = line.split(",")
+                    out[int(a)] = int(b)
+        return out
+
+    return (theta, beta,
+            read_map(os.path.join(directory, "user_map.dat")),
+            read_map(os.path.join(directory, "item_map.dat")))
+
+
+# external tool command lines (reference shells out via system();
+# run_chi_* hgaprec.cc:533-643, run_vwlda 646-669). Roots configurable.
+def chi_command(tool: str, outdir: str, k: int, *, graphchi_root: str,
+                extra: str = "") -> str:
+    train = os.path.join(outdir, "chitrain.tsv")
+    valid = os.path.join(outdir, "chivalidation.tsv")
+    return (f"cd {outdir}; GRAPHCHI_ROOT={graphchi_root} "
+            f"{graphchi_root}/toolkits/collaborative_filtering/{tool} "
+            f"--training={train} --validation={valid} "
+            f"--max_iter=100 --quiet=1 --D={k} {extra}")
+
+
+def vwlda_command(outdir: str, k: int, n: int, m: int, *,
+                  vw_binary: str) -> str:
+    import math
+    b = int(math.log2(max(m, 2)) + 1)
+    return (f"{vw_binary} --lda {k} --lda_alpha {1.0 / k} "
+            f"--lda_rho {1.0 / k} --lda_D {n} --minibatch 256 "
+            f"--power_t 0.5 --initial_t 1 "
+            f"{os.path.join(outdir, 'ldatrain.tsv')} -b {b} "
+            f"-p {os.path.join(outdir, 'gamma.tsv')} "
+            f"--readable_model {os.path.join(outdir, 'beta.tsv')}")

@@ -27,8 +27,7 @@ import numpy as np
 
 from hgaprec_tpu.config import ModelConfig
 from hgaprec_tpu.data.ratings import CountMap, RatingsStore
-from hgaprec_tpu.eval.score import pair_scores, user_scores
-from hgaprec_tpu.models.state import ModelState
+from hgaprec_tpu.eval.score import Scorer, pair_scores, user_scores
 
 
 def sample_users(rng: np.random.Generator, n: int, count: int = 1000
@@ -65,14 +64,12 @@ def _group(cmap: CountMap) -> Dict[int, np.ndarray]:
     return {u: np.asarray(sorted(v), np.int64) for u, v in tmp.items()}
 
 
-def masked_user_scores(state: ModelState, cfg: ModelConfig,
-                       store: RatingsStore, index: EvalIndex,
+def masked_user_scores(sc: Scorer, store: RatingsStore, index: EvalIndex,
                        users: np.ndarray) -> np.ndarray:
     """[S, M] scores with train+validation entries forced to 0.0
     (hgaprec.cc:1729-1737)."""
     import jax.numpy as jnp
-    s = np.asarray(user_scores(state, cfg, jnp.asarray(users)),
-                   dtype=np.float64)
+    s = np.asarray(user_scores(sc, jnp.asarray(users)), dtype=np.float64)
     for r, n in enumerate(users):
         n = int(n)
         s[r, store.items_of_user(n)] = 0.0
@@ -82,14 +79,13 @@ def masked_user_scores(state: ModelState, cfg: ModelConfig,
     return s
 
 
-def compute_precision(state: ModelState, cfg: ModelConfig,
-                      store: RatingsStore, index: EvalIndex,
+def compute_precision(sc: Scorer, store: RatingsStore, index: EvalIndex,
                       test: CountMap, users: np.ndarray,
                       precision_file: Optional[TextIO],
                       ranking_path: Optional[str] = None,
                       topn: int = 100) -> Dict[str, float]:
     """One precision report; optionally writes ranking.tsv."""
-    scores = masked_user_scores(state, cfg, store, index, users)
+    scores = masked_user_scores(sc, store, index, users)
     topn_eff = min(topn, store.m)
     f = open(ranking_path, "w") if ranking_path else None
     mhits10 = mhits100 = 0.0
@@ -125,11 +121,10 @@ def compute_precision(state: ModelState, cfg: ModelConfig,
     return {"users": total_users, "p10": p10, "p100": p100}
 
 
-def compute_itemrank(state: ModelState, cfg: ModelConfig,
-                     store: RatingsStore, index: EvalIndex,
+def compute_itemrank(sc: Scorer, store: RatingsStore, index: EvalIndex,
                      users: np.ndarray, outdir: str) -> Dict[str, float]:
     """itemrank.tsv + meanrank.txt (hgaprec.cc:1607-1701)."""
-    scores = masked_user_scores(state, cfg, store, index, users)
+    scores = masked_user_scores(sc, store, index, users)
     item_deg = store.item_degrees()
     sum_rank = sum_rr_ref = sum_rr_true = 0.0
     total_users = 0
@@ -171,7 +166,7 @@ def compute_itemrank(state: ModelState, cfg: ModelConfig,
             "mrr": sum_rr_true / tu}
 
 
-def gen_msr_csv(state: ModelState, cfg: ModelConfig, store: RatingsStore,
+def gen_msr_csv(sc: Scorer, store: RatingsStore,
                 index: EvalIndex, leave_one_out: Dict[int, int],
                 val_users_of_movie: Dict[int, int], outdir: str) -> None:
     """pred.csv for leave-one-out evaluation (hgaprec.cc:1993-2085)."""
@@ -184,7 +179,7 @@ def gen_msr_csv(state: ModelState, cfg: ModelConfig, store: RatingsStore,
         last_ids = np.concatenate([np.arange(store.m - 1), [0]])
         for lo in range(0, store.n, chunk):
             sub = all_users[lo:lo + chunk]
-            scores = masked_user_scores(state, cfg, store, index, sub)
+            scores = masked_user_scores(sc, store, index, sub)
             for r, n in enumerate(sub):
                 n = int(n)
                 if n not in leave_one_out:
@@ -210,7 +205,7 @@ def gen_msr_csv(state: ModelState, cfg: ModelConfig, store: RatingsStore,
                         f"{ntrain_users + nvalid}\n")
 
 
-def compute_rmse(state: ModelState, cfg: ModelConfig, test: CountMap,
+def compute_rmse(sc: Scorer, test: CountMap,
                  outdir: str, rmse_file: TextIO) -> float:
     """rmse.txt + test_scores.tsv (hgaprec.cc:1579-1604)."""
     import jax.numpy as jnp
@@ -220,7 +215,7 @@ def compute_rmse(state: ModelState, cfg: ModelConfig, test: CountMap,
     u = np.asarray([p[0] for p in pairs], np.int32)
     i = np.asarray([p[1] for p in pairs], np.int32)
     y = np.asarray([test[p] for p in pairs], np.float64)
-    s = np.asarray(pair_scores(state, cfg, jnp.asarray(u), jnp.asarray(i)),
+    s = np.asarray(pair_scores(sc, jnp.asarray(u), jnp.asarray(i)),
                    np.float64)
     with open(os.path.join(outdir, "test_scores.tsv"), "w") as f:
         for v, sc in zip(y, s):

@@ -36,7 +36,7 @@ from hgaprec_tpu.data.ratings import (CountMap, RatingsStore,
                                       validation_users_of_movie)
 from hgaprec_tpu.eval import ranking as rank_mod
 from hgaprec_tpu.eval.ranking import EvalIndex
-from hgaprec_tpu.eval.score import pair_loglik
+from hgaprec_tpu.eval.score import pair_loglik, scorer_from_state
 from hgaprec_tpu.io import checkpoint as ckpt
 from hgaprec_tpu.models.elbo import training_elbo
 from hgaprec_tpu.models.state import ModelState, init_state
@@ -120,6 +120,9 @@ class Trainer:
             f.write(f"rating_threshold: {r.rating_threshold}\n")
             f.write(f"max_iterations: {r.max_iterations}\n")
 
+    def scorer(self):
+        return scorer_from_state(self.state, self.mcfg)
+
     def duration(self) -> int:
         return int(time.time() - self.start_time)
 
@@ -135,7 +138,7 @@ class Trainer:
         k = int(u.shape[0])
         if k == 0:
             return 0.0
-        total, _ = pair_loglik(self.state, self.mcfg, u, i, y)
+        total, _ = pair_loglik(self.scorer(), u, i, y, self.mcfg.binary)
         a = float(total) / k
         fname = "validation.txt" if validation else "test.txt"
         f = self._files[fname]
@@ -197,7 +200,7 @@ class Trainer:
         path = os.path.join(self.outdir, "ranking.tsv") if save_ranking \
             else None
         return rank_mod.compute_precision(
-            self.state, self.mcfg, self.store, self.index, self.test, users,
+            self.scorer(), self.store, self.index, self.test, users,
             self._files["precision.txt"], path, self.rcfg.topn_by_user)
 
     def compute_itemrank(self, final: bool):
@@ -205,7 +208,7 @@ class Trainer:
             final = True
         if not final or self._sampled_users is None:
             return None
-        return rank_mod.compute_itemrank(self.state, self.mcfg, self.store,
+        return rank_mod.compute_itemrank(self.scorer(), self.store,
                                          self.index, self._sampled_users,
                                          self.outdir)
 
@@ -222,19 +225,19 @@ class Trainer:
             return
         self._sampled_users = users
         rank_mod.compute_precision(
-            self.state, self.mcfg, self.store, self.index, self.test, users,
+            self.scorer(), self.store, self.index, self.test, users,
             self._files["precision.txt"],
             os.path.join(self.outdir, "ranking.tsv"),
             self.rcfg.topn_by_user)
-        rank_mod.compute_itemrank(self.state, self.mcfg, self.store,
+        rank_mod.compute_itemrank(self.scorer(), self.store,
                                   self.index, users, self.outdir)
 
     def compute_rmse(self) -> float:
-        return rank_mod.compute_rmse(self.state, self.mcfg, self.test,
+        return rank_mod.compute_rmse(self.scorer(), self.test,
                                      self.outdir, self._files["rmse.txt"])
 
     def gen_msr_csv(self):
-        rank_mod.gen_msr_csv(self.state, self.mcfg, self.store, self.index,
+        rank_mod.gen_msr_csv(self.scorer(), self.store, self.index,
                              self.leave_one_out, self.val_users_of_movie,
                              self.outdir)
 

@@ -1,0 +1,129 @@
+"""CLI smoke tests: reference flag surface end to end."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from conftest import make_synthetic
+from hgaprec_tpu import cli
+from hgaprec_tpu.data.synthetic import write_pf_dataset
+
+
+@pytest.fixture
+def dataset(tmp_path, rng):
+    write_pf_dataset(str(tmp_path), rng, 50, 30, k=3, scale=6.0,
+                     test_frac=0.15, valid_frac=0.1)
+    return tmp_path
+
+
+def test_cli_train_bpf(dataset, tmp_path):
+    out = str(tmp_path / "out")
+    rc = cli.main(["-dir", str(dataset), "-n", "50", "-m", "30", "-k", "3",
+                   "-rfreq", "4", "-max-iterations", "8", "-seed", "2",
+                   "-outdir", out, "-hier"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "validation.txt"))
+    assert os.path.exists(os.path.join(out, "htheta.tsv"))
+
+
+def test_cli_gen_ranking_after_train(dataset, tmp_path):
+    out = str(tmp_path / "out2")
+    cli.main(["-dir", str(dataset), "-n", "50", "-m", "30", "-k", "3",
+              "-rfreq", "4", "-max-iterations", "4", "-outdir", out,
+              "-hier"])
+    rc = cli.main(["-dir", str(dataset), "-n", "50", "-m", "30", "-k", "3",
+                   "-outdir", out, "-hier", "-gen-ranking"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "ranking.tsv"))
+
+
+def test_cli_write_training_formats(dataset, tmp_path):
+    out = str(tmp_path / "out3")
+    rc = cli.main(["-dir", str(dataset), "-n", "50", "-m", "30", "-k", "3",
+                   "-outdir", out, "-write-training", "-lda"])
+    assert rc == 0
+    lines = open(os.path.join(out, "ldatrain.tsv")).read().splitlines()
+    assert lines and ":" in lines[0]
+    rc = cli.main(["-dir", str(dataset), "-n", "50", "-m", "30", "-k", "3",
+                   "-outdir", out, "-write-training", "-vwlda"])
+    assert rc == 0
+    assert open(os.path.join(out, "ldatrain.tsv")).read().startswith("|")
+
+
+def test_cli_chi_export(dataset, tmp_path):
+    out = str(tmp_path / "out4")
+    rc = cli.main(["-dir", str(dataset), "-n", "50", "-m", "30", "-k", "3",
+                   "-outdir", out, "-chi", "-wals"])
+    assert rc == 0
+    head = open(os.path.join(out, "chitrain.tsv")).read().splitlines()
+    assert head[0].startswith("%%MatrixMarket")
+    # wals rows: "u m conf p"
+    assert len(head[2].split()) == 4
+
+
+def test_cli_nmf_native(dataset, tmp_path):
+    out = str(tmp_path / "out5")
+    rc = cli.main(["-dir", str(dataset), "-n", "50", "-m", "30", "-k", "3",
+                   "-outdir", out, "-nmf"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "nmf_theta.tsv"))
+    # ranking written for test_users.tsv
+    assert os.path.exists(os.path.join(out, "ranking.tsv"))
+
+
+def test_cli_msr(dataset, tmp_path):
+    out = str(tmp_path / "out6")
+    cli.main(["-dir", str(dataset), "-n", "50", "-m", "30", "-k", "3",
+              "-rfreq", "2", "-max-iterations", "4", "-outdir", out,
+              "-hier"])
+    rc = cli.main(["-dir", str(dataset), "-n", "50", "-m", "30", "-k", "3",
+                   "-outdir", out, "-hier", "-msr"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "pred.csv"))
+
+
+def test_cli_online_quits(dataset, tmp_path, capsys):
+    rc = cli.main(["-dir", str(dataset), "-n", "50", "-m", "30", "-k", "3",
+                   "-outdir", str(tmp_path / "o7"), "-online"])
+    assert rc == 0
+    assert "not implemented" in capsys.readouterr().out
+
+
+def test_cli_sharded_devices(dataset, tmp_path):
+    out = str(tmp_path / "out8")
+    rc = cli.main(["-dir", str(dataset), "-n", "50", "-m", "30", "-k", "3",
+                   "-rfreq", "3", "-max-iterations", "6", "-outdir", out,
+                   "-hier", "-devices", "8"])
+    assert rc == 0
+    rows = open(os.path.join(out, "validation.txt")).read().splitlines()
+    assert len(rows) >= 2
+
+
+def test_nmf_reconstructs(rng):
+    from hgaprec_tpu.ops.nmf import nmf
+    w = rng.gamma(2.0, 1.0, (30, 3)).astype(np.float32)
+    h = rng.gamma(2.0, 1.0, (20, 3)).astype(np.float32)
+    v = w @ h.T
+    theta, beta = nmf(v, 3, iters=300, seed=1)
+    err = np.linalg.norm(theta @ beta.T - v) / np.linalg.norm(v)
+    assert err < 0.05
+
+
+def test_coldstart_prefers_seed_neighbors(rng):
+    from hgaprec_tpu.config import ModelConfig
+    from hgaprec_tpu.data.device import build_device_data
+    from hgaprec_tpu.models.coldstart import fold_in_users
+    from hgaprec_tpu.models.state import init_state
+    from hgaprec_tpu.models.step import make_step
+    store, validation, test = make_synthetic(rng, n=40, m=30, density=0.3)
+    cfg = ModelConfig(n=store.n, m=store.m, k=3)
+    data = build_device_data(store)
+    state = init_state(cfg, 1)
+    step = make_step(cfg)
+    for _ in range(10):
+        state = step(state, data)
+    theta_e, scores = fold_in_users(state, cfg, [[0, 1], [2]])
+    assert theta_e.shape == (2, 3)
+    assert np.isfinite(scores).all() and (scores >= 0).all()
