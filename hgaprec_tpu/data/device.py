@@ -40,8 +40,10 @@ class DeviceData:
     item_order: jax.Array   # i32[P]
     i_ids_sorted: jax.Array  # i32[P]
     u_ids_by_item: jax.Array  # i32[P] = u_ids[item_order]
-    # optional dense count matrix for the MXU path
-    dense_y: Optional[jax.Array]  # f32[N, M] or None
+    # optional dense count matrix for the MXU path; uint8 like the
+    # reference's yval_t (env.hh:20) so Netflix-scale Y fits in HBM —
+    # converted to f32 tile-by-tile inside the sweep
+    dense_y: Optional[jax.Array]  # u8[N, M] or None
 
     @property
     def nnz_padded(self) -> int:
@@ -50,7 +52,7 @@ class DeviceData:
 
 def build_device_data(store: RatingsStore, *, pad_multiple: int = 1024,
                       dense: bool = True,
-                      dense_limit_bytes: int = 4 << 30) -> DeviceData:
+                      dense_limit_bytes: int = 10 << 30) -> DeviceData:
     """Build the static-shape device arrays from a finalized host store."""
     u = store.coo_u.astype(np.int32)
     i = store.coo_i.astype(np.int32)
@@ -66,9 +68,9 @@ def build_device_data(store: RatingsStore, *, pad_multiple: int = 1024,
     item_order = np.lexsort((u, i)).astype(np.int32)
 
     dense_y = None
-    if dense and n * m * 4 <= dense_limit_bytes and n > 0 and m > 0:
-        dy = np.zeros((n, m), np.float32)
-        dy[store.coo_u, store.coo_i] = store.coo_y
+    if dense and n * m <= dense_limit_bytes and n > 0 and m > 0:
+        dy = np.zeros((n, m), np.uint8)
+        dy[store.coo_u, store.coo_i] = np.minimum(store.coo_y, 255)
         dense_y = jnp.asarray(dy)
 
     return DeviceData(

@@ -51,7 +51,7 @@ def sweep_dense(elog_a: jax.Array, elog_b: jax.Array,
                 elog_bias_b: Optional[jax.Array],
                 dense_y: jax.Array, *, item_block: int = 4096,
                 precision: str = "highest") -> SweepResult:
-    """Dense-blocked sweep. dense_y: f32[N, M] counts (0 = no rating)."""
+    """Dense-blocked sweep. dense_y: u8/f32[N, M] counts (0 = no rating)."""
     prec = None if precision == "default" else jax.lax.Precision.HIGHEST
     n, m = dense_y.shape
     k = elog_a.shape[1]
@@ -74,6 +74,7 @@ def sweep_dense(elog_a: jax.Array, elog_b: jax.Array,
     def body(carry, blk):
         acc_a_c, acc_ba_c = carry
         b_blk, y_blk, bb_blk = blk
+        y_blk = y_blk.astype(dtype)     # u8 counts -> f32, fused per tile
         s = jnp.dot(a, b_blk.T, preferred_element_type=jnp.float32,
                     precision=prec)                                  # [N, BI]
         if bias:

@@ -101,7 +101,7 @@ class ShardedRun:
 
 def build_sharded_data(store: RatingsStore, n_padded: int, mesh: Mesh,
                        *, pad_multiple: int = 256, dense: bool = True,
-                       dense_limit_bytes: int = 4 << 30) -> DeviceData:
+                       dense_limit_bytes: int = 10 << 30) -> DeviceData:
     """Partition training nonzeros by user block; local ids, equal pads."""
     ndev = mesh.devices.size
     n_local = n_padded // ndev
@@ -122,7 +122,7 @@ def build_sharded_data(store: RatingsStore, n_padded: int, mesh: Mesh,
 
     us, is_, ys, orders, isorted, ubyitem = [], [], [], [], [], []
     dense_rows = []
-    want_dense = dense and n_padded * m * 4 <= dense_limit_bytes and m > 0
+    want_dense = dense and n_padded * m <= dense_limit_bytes and m > 0
     for d, (uu, ii, yy) in enumerate(per_shard):
         pad = p_local - uu.size
         uu2 = np.concatenate([uu, np.full(pad, n_local - 1, np.int32)])
@@ -136,8 +136,8 @@ def build_sharded_data(store: RatingsStore, n_padded: int, mesh: Mesh,
         isorted.append(ii2[order])
         ubyitem.append(uu2[order])
         if want_dense:
-            dy = np.zeros((n_local, m), np.float32)
-            dy[uu, ii] = yy
+            dy = np.zeros((n_local, m), np.uint8)
+            dy[uu, ii] = np.minimum(yy, 255).astype(np.uint8)
             dense_rows.append(dy)
 
     def shard_arr(parts, spec):
