@@ -191,6 +191,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     elif o["canny"]:
         variant = "canny"
 
+    if o["gen_heldout"]:
+        return _gen_heldout(o)
+
     print(f"+ reading ratings dataset from {o['dir']}")
     store, validation, test = load_dataset(
         o["dir"], o["n"], o["m"], o["binary"], o["rating_threshold"])
@@ -217,6 +220,39 @@ def main(argv: Optional[List[str]] = None) -> int:
         return _dispatch(o, store, validation, test, mcfg, rcfg, tr)
     finally:
         tr.close()
+
+
+def _gen_heldout(o) -> int:
+    """CREATE_TRAIN_TEST_SETS mode: raw format -> split TSVs
+    (ratings.cc:11-26 ingest + the splitter the reference never shipped)."""
+    from hgaprec_tpu.data import readers
+    d = o["dir"]
+    ds = o["dataset"]
+    print(f"+ reading raw {ds} dataset from {d}")
+    if ds == "movielens":
+        for cand in ("ml-1m_train.tsv", "ratings.dat", "ratings.tsv"):
+            path = os.path.join(d, cand)
+            if os.path.exists(path):
+                break
+        u, i, y = readers.read_movielens(path)
+    elif ds == "netflix":
+        u, i, y = readers.read_netflix_dir(d, max_movies=o["m"] or None)
+    elif ds == "mendeley":
+        u, i, y = readers.read_mendeley(os.path.join(d, "users.dat"))
+    elif ds == "echonest":
+        u, i, y, _ = readers.read_triplets(
+            os.path.join(d, "train_triplets.txt"))
+    elif ds == "nyt":
+        u, i, y, _ = readers.read_triplets(
+            os.path.join(d, "nyt-clicks.tsv"))
+    else:
+        print(f"unknown dataset {ds}")
+        return 1
+    out = o["outdir"] or d
+    counts = readers.create_train_test_sets(
+        u, i, y, out, leave_one_out=o["msr"], seed=int(o["seed"]))
+    print(f"+ wrote splits to {out}: {counts}")
+    return 0
 
 
 def _dispatch(o, store, validation, test, mcfg, rcfg, tr) -> int:
