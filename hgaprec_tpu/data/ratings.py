@@ -138,8 +138,21 @@ class RatingsStore:
 
         Note reference semantics: test/validation rows also create new ids
         when capacity remains (add_user/add_movie called for unseen ids).
+        The first (training) read takes a fully vectorized path — the
+        per-row loop would not scale to Netflix/EchoNest row counts.
         """
         data = _parse_tsv(path)
+        if cmap is None and not self.user2seq and data.shape[0] > 10000:
+            # capacity caps couple user/item minting row by row (a row
+            # dropped for one side's capacity does not mint the other
+            # side's id, ratings.cc:80-84); vectorize only when the caps
+            # cannot bind, else keep the exact sequential semantics.
+            y_col = data[:, 2]
+            live = (y_col >= self.rating_threshold) if self.binary                 else (y_col > 0)
+            if (np.unique(data[live, 0]).size <= self.max_n and
+                    np.unique(data[live, 1]).size <= self.max_m):
+                self._ingest_vectorized(data)
+                return
         for uid, mid, rating in data:
             uid, mid, rating = int(uid), int(mid), int(rating)
             # capacity check precedes the rating-class filter (ratings.cc:80-87)
@@ -156,6 +169,46 @@ class RatingsStore:
                 self._y.append(y)
             else:
                 cmap[(un, mn)] = y
+
+    def _ingest_vectorized(self, data: np.ndarray) -> None:
+        """First-seen-order remap + filters, NumPy-vectorized. Matches the
+        scalar path exactly: the rating-class filter runs first, then ids
+        are minted in row order until capacity, and rows referencing
+        unminted ids are dropped (ratings.cc:80-101)."""
+        uid, mid, y = data[:, 0], data[:, 1], data[:, 2]
+        if self.binary:
+            keep = y >= self.rating_threshold
+            uid, mid, y = uid[keep], mid[keep], np.ones(keep.sum(), np.int64)
+        else:
+            keep = y > 0
+            uid, mid, y = uid[keep], mid[keep], y[keep]
+
+        def first_seen_remap(ids, cap):
+            # seq id = order of first occurrence, capped at `cap`
+            uniq, first = np.unique(ids, return_index=True)
+            uniq_fs = uniq[np.argsort(first, kind="stable")][:cap]
+            ext2seq = {int(e): k for k, e in enumerate(uniq_fs)}
+            # vector map ids -> seq via sorted lookup table
+            sorter = np.argsort(uniq_fs, kind="stable")
+            lut_sorted = uniq_fs[sorter]     # values ascending
+            # seq id of the value at sorted position p is sorter[p]
+            pos = np.searchsorted(lut_sorted, ids)
+            pos_c = np.clip(pos, 0, max(lut_sorted.size - 1, 0))
+            valid = lut_sorted.size > 0
+            valid = (lut_sorted[pos_c] == ids) if valid else                 np.zeros(ids.shape, bool)
+            seq = np.where(valid, sorter[pos_c], -1)
+            return ext2seq, seq, valid
+
+        u_ext2seq, u_seq, u_ok = first_seen_remap(uid, self.max_n)
+        m_ext2seq, m_seq, m_ok = first_seen_remap(mid, self.max_m)
+        keep = u_ok & m_ok
+        self.user2seq = u_ext2seq
+        self.seq2user = {v: k for k, v in u_ext2seq.items()}
+        self.movie2seq = m_ext2seq
+        self.seq2movie = {v: k for k, v in m_ext2seq.items()}
+        self._u = list(u_seq[keep])
+        self._i = list(m_seq[keep])
+        self._y = list(y[keep])
 
     def add_training(self, u_ext: Iterable[int], i_ext: Iterable[int],
                      y: Iterable[int]) -> None:
@@ -182,10 +235,6 @@ class RatingsStore:
         n = max(self.n, 1)
         counts = np.bincount(self.coo_u, minlength=n)
         self.row_ptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-        self._rating_lookup = {
-            (int(a), int(b)): int(c)
-            for a, b, c in zip(self.coo_u, self.coo_i, self.coo_y)
-        }
         self._finalized = True
 
     # -- queries (reference ratings.hh:153-181) ----------------------------
@@ -194,7 +243,13 @@ class RatingsStore:
         return int(self.coo_y.size if self._finalized else len(self._y))
 
     def r(self, n: int, m: int) -> int:
-        return self._rating_lookup.get((n, m), 0)
+        """O(log deg) CSR lookup (reference uses a per-user hashmap,
+        ratings.hh:153-165)."""
+        s, e = self.row_ptr[n], self.row_ptr[n + 1]
+        j = np.searchsorted(self.coo_i[s:e], m)
+        if j < e - s and self.coo_i[s + j] == m:
+            return int(self.coo_y[s + j])
+        return 0
 
     def items_of_user(self, n: int) -> np.ndarray:
         s, e = self.row_ptr[n], self.row_ptr[n + 1]

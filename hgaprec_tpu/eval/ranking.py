@@ -79,18 +79,34 @@ def masked_user_scores(sc: Scorer, store: RatingsStore, index: EvalIndex,
     return s
 
 
+# above this catalog size the [users, M] host matrix is replaced by the
+# streamed device top-k (eval/topk.py)
+DEVICE_TOPK_THRESHOLD = 65536
+
+
+def top_candidates(sc: Scorer, store: RatingsStore, index: EvalIndex,
+                   users: np.ndarray, topn: int):
+    """(values [S, topn], ids [S, topn]) of the masked ranking."""
+    topn_eff = min(topn, store.m)
+    if store.m > DEVICE_TOPK_THRESHOLD:
+        from hgaprec_tpu.eval.topk import masked_topk
+        return masked_topk(sc, store, index, users, k=topn_eff)
+    scores = masked_user_scores(sc, store, index, users)
+    top_idx = np.argsort(-scores, axis=1, kind="stable")[:, :topn_eff]
+    return np.take_along_axis(scores, top_idx, axis=1), top_idx
+
+
 def compute_precision(sc: Scorer, store: RatingsStore, index: EvalIndex,
                       test: CountMap, users: np.ndarray,
                       precision_file: Optional[TextIO],
                       ranking_path: Optional[str] = None,
                       topn: int = 100) -> Dict[str, float]:
     """One precision report; optionally writes ranking.tsv."""
-    scores = masked_user_scores(sc, store, index, users)
-    topn_eff = min(topn, store.m)
+    top_vals, top_idx = top_candidates(sc, store, index, users, topn)
+    topn_eff = top_idx.shape[1]
     f = open(ranking_path, "w") if ranking_path else None
     mhits10 = mhits100 = 0.0
     total_users = 0
-    top_idx = np.argsort(-scores, axis=1, kind="stable")[:, :topn_eff]
     for r, n in enumerate(users):
         n = int(n)
         hits10 = hits100 = 0
@@ -107,7 +123,7 @@ def compute_precision(sc: Scorer, store: RatingsStore, index: EvalIndex,
                     hits100 += hit
             if f is not None and store.r(n, mm) == 0:
                 f.write(f"{store.seq2user[n]}\t{store.seq2movie[mm]}\t"
-                        f"{scores[r, mm]:.5f}\t{hit}\n")
+                        f"{top_vals[r, j]:.5f}\t{hit}\n")
         mhits10 += hits10 / 10.0
         mhits100 += hits100 / 100.0
         total_users += 1

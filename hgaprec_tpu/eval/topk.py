@@ -1,0 +1,134 @@
+"""Streamed device-side masked top-k over item shards.
+
+For large catalogs (EchoNest M=385k) the [users, M] score matrix is too
+big to ship to the host; instead items are scored in chunks on the MXU,
+train/validation entries masked to 0 via a dropped-out-of-range scatter,
+and a running top-k is maintained with jax.lax.top_k — the TPU-native
+equivalent of the reference's full qsort per user (hgaprec.cc:1729-1763).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hgaprec_tpu.eval.score import Scorer
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _masked_topk_device(sc: Scorer, users, mask_cols, k: int,
+                        item_chunk: int):
+    """users: i32[S]; mask_cols: i32[S, D] (global item ids; pad with -1).
+
+    Returns (values [S, k], ids [S, k]) with masked entries scored 0.0
+    (reference semantics — masked items sort to the bottom, not -inf).
+    """
+    s_count = users.shape[0]
+    m = sc.sv.shape[0]
+    su = sc.su[users]                                # [S, K]
+    bu = sc.bias_u[users] if sc.bias_u is not None else None
+    nchunks = -(-m // item_chunk)
+    rows = jnp.arange(s_count, dtype=jnp.int32)[:, None]
+    rows = jnp.broadcast_to(rows, mask_cols.shape)
+    sv_pad = jnp.pad(sc.sv, ((0, nchunks * item_chunk - m), (0, 0)))
+    bi_pad = (jnp.pad(sc.bias_i, (0, nchunks * item_chunk - m))
+              if bu is not None else None)
+
+    def body(carry, c):
+        best_v, best_i = carry
+        c0 = c * item_chunk
+        sv_blk = jax.lax.dynamic_slice_in_dim(sv_pad, c0, item_chunk,
+                                              axis=0)
+        scores = jnp.dot(su, sv_blk.T, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        if bu is not None:
+            bi_blk = jax.lax.dynamic_slice_in_dim(bi_pad, c0, item_chunk,
+                                                  axis=0)
+            scores = scores + bu[:, None] + bi_blk[None, :]
+        scores = scores + sc.global_off
+        # out-of-catalog padding scores to -1 so it can never rank
+        col_ids = c0 + jnp.arange(item_chunk, dtype=jnp.int32)
+        scores = jnp.where(col_ids[None, :] < m, scores, -1.0)
+        # mask train/validation: local columns; indices outside the chunk
+        # are sent far out of range (negative indices would WRAP like
+        # NumPy before the drop-mode bounds check)
+        local = mask_cols - c0
+        local = jnp.where((local >= 0) & (local < item_chunk), local,
+                          item_chunk + 7)
+        scores = scores.at[rows, local].set(0.0, mode="drop")
+        v, i = jax.lax.top_k(scores, min(k, item_chunk))
+        ids = col_ids[i]
+        best_v = jnp.concatenate([best_v, v], axis=1)
+        best_i = jnp.concatenate([best_i, ids], axis=1)
+        v2, sel = jax.lax.top_k(best_v, k)
+        return (v2, jnp.take_along_axis(best_i, sel, axis=1)), None
+
+    init = (jnp.full((s_count, k), -jnp.inf, jnp.float32),
+            jnp.full((s_count, k), -1, jnp.int32))
+    (vals, ids), _ = jax.lax.scan(body, init,
+                                  jnp.arange(nchunks, dtype=jnp.int32))
+    return vals, ids
+
+
+def masked_topk(sc: Scorer, store, index, users: np.ndarray, k: int = 100,
+                item_chunk: int = 16384) -> Tuple[np.ndarray, np.ndarray]:
+    """Host wrapper: builds the padded mask matrix, runs the device loop."""
+    masks = []
+    for n in users:
+        n = int(n)
+        masks.append(np.union1d(store.items_of_user(n),
+                                index.val_items(n)).astype(np.int64))
+    d = max((m.size for m in masks), default=1)
+    d = max(d, 1)
+    mask_cols = np.full((len(users), d), -(10 ** 9), np.int32)
+    for r, mk in enumerate(masks):
+        mask_cols[r, :mk.size] = mk
+    vals, ids = _masked_topk_device(sc, jnp.asarray(users, jnp.int32),
+                                    jnp.asarray(mask_cols), k,
+                                    min(item_chunk, max(store.m, 128)))
+    return np.asarray(vals), np.asarray(ids)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _item_rank_counts(sc: Scorer, users, mask_cols, item_chunk: int,
+                      target_scores):
+    """rank of a target score among masked scores: #items scoring
+    strictly higher (streamed count, no sort)."""
+    s_count = users.shape[0]
+    m = sc.sv.shape[0]
+    su = sc.su[users]
+    bu = sc.bias_u[users] if sc.bias_u is not None else None
+    nchunks = -(-m // item_chunk)
+    rows = jnp.arange(s_count, dtype=jnp.int32)[:, None]
+    rows = jnp.broadcast_to(rows, mask_cols.shape)
+    sv_pad = jnp.pad(sc.sv, ((0, nchunks * item_chunk - m), (0, 0)))
+    bi_pad = (jnp.pad(sc.bias_i, (0, nchunks * item_chunk - m))
+              if bu is not None else None)
+
+    def body(acc, c):
+        c0 = c * item_chunk
+        sv_blk = jax.lax.dynamic_slice_in_dim(sv_pad, c0, item_chunk,
+                                              axis=0)
+        scores = jnp.dot(su, sv_blk.T, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        if bu is not None:
+            bi_blk = jax.lax.dynamic_slice_in_dim(bi_pad, c0, item_chunk,
+                                                  axis=0)
+            scores = scores + bu[:, None] + bi_blk[None, :]
+        scores = scores + sc.global_off
+        col_ids = c0 + jnp.arange(item_chunk, dtype=jnp.int32)
+        scores = jnp.where(col_ids[None, :] < m, scores, -jnp.inf)
+        local = mask_cols - c0
+        local = jnp.where((local >= 0) & (local < item_chunk), local,
+                          item_chunk + 7)
+        scores = scores.at[rows, local].set(0.0, mode="drop")
+        acc = acc + jnp.sum(scores > target_scores[:, None], axis=1)
+        return acc, None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((s_count,), jnp.int32),
+                          jnp.arange(nchunks, dtype=jnp.int32))
+    return acc

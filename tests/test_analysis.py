@@ -89,3 +89,69 @@ def test_leave_one_out_split(tmp_path, rng):
                                             leave_one_out=True, seed=2)
     assert counts["test"] == 20  # exactly one per user
     assert counts["test_users"] == 20
+
+
+def test_vectorized_ingest_matches_scalar(tmp_path, rng):
+    """Shuffled external ids: vectorized remap == per-row reference path."""
+    from hgaprec_tpu.data.ratings import RatingsStore
+    u = rng.integers(100, 900, 15000)
+    i = rng.integers(5000, 5400, 15000)
+    y = rng.integers(0, 6, 15000)  # include zeros (dropped)
+    path = tmp_path / "train.tsv"
+    with open(path, "w") as f:
+        f.write("".join(f"{a}\t{b}\t{c}\n" for a, b, c in zip(u, i, y)))
+
+    fast = RatingsStore(10**6, 10**6)
+    fast.read_generic(str(path), None)   # vectorized (>10k rows)
+    fast.finalize()
+
+    slow = RatingsStore(10**6, 10**6)
+    slow.add_training(u, i, y)           # scalar path
+    slow.finalize()
+
+    assert fast.user2seq == slow.user2seq
+    assert fast.movie2seq == slow.movie2seq
+    np.testing.assert_array_equal(fast.coo_u, slow.coo_u)
+    np.testing.assert_array_equal(fast.coo_i, slow.coo_i)
+    np.testing.assert_array_equal(fast.coo_y, slow.coo_y)
+
+
+def test_vectorized_ingest_capacity_cap(tmp_path, rng):
+    from hgaprec_tpu.data.ratings import RatingsStore
+    u = rng.integers(0, 50, 20000)
+    i = rng.integers(0, 50, 20000)
+    y = rng.integers(1, 5, 20000)
+    path = tmp_path / "train.tsv"
+    with open(path, "w") as f:
+        f.write("".join(f"{a}\t{b}\t{c}\n" for a, b, c in zip(u, i, y)))
+    fast = RatingsStore(10, 7)
+    fast.read_generic(str(path), None)
+    fast.finalize()
+    slow = RatingsStore(10, 7)
+    slow.add_training(u, i, y)
+    slow.finalize()
+    assert fast.n == 10 and fast.m == 7
+    assert fast.user2seq == slow.user2seq
+    np.testing.assert_array_equal(fast.coo_u, slow.coo_u)
+    np.testing.assert_array_equal(fast.coo_y, slow.coo_y)
+
+
+def test_device_topk_matches_host(rng):
+    """Streamed device top-k == host argsort path on the same scorer."""
+    import jax.numpy as jnp
+    from conftest import make_synthetic
+    from hgaprec_tpu.eval.ranking import EvalIndex, masked_user_scores
+    from hgaprec_tpu.eval.score import Scorer
+    from hgaprec_tpu.eval.topk import masked_topk
+    store, validation, test = make_synthetic(rng, n=40, m=60, density=0.2)
+    k = 4
+    sc = Scorer(jnp.asarray(rng.random((store.n, k)), jnp.float32),
+                jnp.asarray(rng.random((store.m, k)), jnp.float32),
+                None, None, 0.0)
+    index = EvalIndex(validation, test)
+    users = np.arange(0, store.n, 3, dtype=np.int32)
+    host = masked_user_scores(sc, store, index, users)
+    vals, ids = masked_topk(sc, store, index, users, k=10, item_chunk=16)
+    for r in range(users.size):
+        expect = np.sort(host[r])[::-1][:10]
+        np.testing.assert_allclose(vals[r], expect, rtol=1e-5, atol=1e-6)
