@@ -51,7 +51,7 @@ class DeviceData:
 
 
 def build_device_data(store: RatingsStore, *, pad_multiple: int = 1024,
-                      dense: bool = True,
+                      dense: bool = True, dense_col_multiple: int = 4096,
                       dense_limit_bytes: int = 10 << 30) -> DeviceData:
     """Build the static-shape device arrays from a finalized host store."""
     u = store.coo_u.astype(np.int32)
@@ -69,7 +69,10 @@ def build_device_data(store: RatingsStore, *, pad_multiple: int = 1024,
 
     dense_y = None
     if dense and n * m <= dense_limit_bytes and n > 0 and m > 0:
-        dy = np.zeros((n, m), np.uint8)
+        # columns padded at build time so the sweep can slice in place
+        mp = -(-m // dense_col_multiple) * dense_col_multiple \
+            if n * m > (1 << 28) else m
+        dy = np.zeros((n, mp), np.uint8)
         dy[store.coo_u, store.coo_i] = np.minimum(store.coo_y, 255)
         dense_y = jnp.asarray(dy)
 

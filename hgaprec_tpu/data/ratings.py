@@ -33,9 +33,17 @@ CountMap = Dict[Tuple[int, int], int]
 def _parse_tsv(path: str) -> np.ndarray:
     """Parse `uid \t mid \t rating` rows to an int64 [R, 3] array.
 
-    Mirrors fscanf("%u\t%u\t%u\n") (ratings.cc:70) but vectorized. Extra
-    columns (e.g. movielens timestamps) are ignored.
+    Mirrors fscanf("%u\t%u\t%u\n") (ratings.cc:70). Tries the native
+    mmap parser (data/native.py), then the vectorized NumPy tokenizer,
+    then a line-by-line fallback. Extra columns are ignored.
     """
+    try:
+        from hgaprec_tpu.data.native import parse_tsv3
+        out = parse_tsv3(path)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     out = _fast_parse_3col(path)
     if out is not None:
         return out

@@ -50,3 +50,26 @@ def write_pf_dataset(outdir: str, rng: np.random.Generator, n: int, m: int,
     with open(os.path.join(outdir, "test_users.tsv"), "w") as f:
         f.write("".join(f"{a + 1}\n" for a in test_users))
     return int(u.size)
+
+
+def generate_pf_counts_chunked(rng: np.ndarray, n: int, m: int, k: int = 8,
+                               a: float = 0.3, ap: float = 1.5,
+                               b: float = 0.3, scale: float = 1.0,
+                               user_chunk: int = 20000):
+    """Chunked sampler for pod-scale shapes (Netflix: 480k x 17.7k) — the
+    dense [n, m] rate matrix never materializes; yields COO arrays."""
+    eta = rng.gamma(ap, 1.0 / b, size=m)
+    beta = rng.gamma(a, 1.0 / eta[:, None], size=(m, k)).astype(np.float32)
+    us, is_, ys = [], [], []
+    for lo in range(0, n, user_chunk):
+        hi = min(lo + user_chunk, n)
+        xi = rng.gamma(ap, 1.0 / b, size=hi - lo)
+        theta = rng.gamma(a, 1.0 / xi[:, None],
+                          size=(hi - lo, k)).astype(np.float32)
+        rate = scale * theta @ beta.T
+        y = rng.poisson(rate.astype(np.float64))
+        uu, ii = np.nonzero(y)
+        us.append((uu + lo).astype(np.int64))
+        is_.append(ii.astype(np.int64))
+        ys.append(y[uu, ii].astype(np.int64))
+    return (np.concatenate(us), np.concatenate(is_), np.concatenate(ys))

@@ -51,9 +51,10 @@ def sweep_dense(elog_a: jax.Array, elog_b: jax.Array,
                 elog_bias_b: Optional[jax.Array],
                 dense_y: jax.Array, *, item_block: int = 4096,
                 precision: str = "highest") -> SweepResult:
-    """Dense-blocked sweep. dense_y: u8/f32[N, M] counts (0 = no rating)."""
+    """Dense-blocked sweep. dense_y: u8/f32[N, >=M] counts (0 = none)."""
     prec = None if precision == "default" else jax.lax.Precision.HIGHEST
-    n, m = dense_y.shape
+    n = dense_y.shape[0]
+    m = elog_b.shape[0]
     k = elog_a.shape[1]
     dtype = elog_a.dtype
     a = jnp.exp(elog_a)                      # [N, K]
@@ -62,18 +63,23 @@ def sweep_dense(elog_a: jax.Array, elog_b: jax.Array,
     ba = jnp.exp(elog_bias_a) if bias else None   # [N]
     bb = jnp.exp(elog_bias_b) if bias else None   # [M]
 
-    nb = -(-m // item_block)
+    # m_store: the dense matrix may be column-padded at build time so the
+    # huge [N, M] array is sliced in place per block (no device-side copy
+    # of Y — at Netflix scale a transpose/pad copy would double HBM use)
+    m_store = dense_y.shape[1]
+    nb = -(-m_store // item_block)
     mp = nb * item_block
-    b_blocks = _pad_rows(b, mp).reshape(nb, item_block, k)
-    y_blocks = jnp.moveaxis(
-        jnp.pad(dense_y, ((0, 0), (0, mp - m))).reshape(n, nb, item_block),
-        1, 0)                                 # [nb, N, BI]
-    bb_blocks = (_pad_rows(bb, mp).reshape(nb, item_block) if bias else
-                 jnp.zeros((nb, item_block), dtype))
+    if mp != m_store:
+        dense_y = jnp.pad(dense_y, ((0, 0), (0, mp - m_store)))
+    b_pad = _pad_rows(b, mp)
+    bb_pad = (_pad_rows(bb, mp) if bias else jnp.zeros((mp,), dtype))
 
-    def body(carry, blk):
+    def body(carry, c):
         acc_a_c, acc_ba_c = carry
-        b_blk, y_blk, bb_blk = blk
+        c0 = c * item_block
+        b_blk = jax.lax.dynamic_slice_in_dim(b_pad, c0, item_block, 0)
+        y_blk = jax.lax.dynamic_slice_in_dim(dense_y, c0, item_block, 1)
+        bb_blk = jax.lax.dynamic_slice_in_dim(bb_pad, c0, item_block, 0)
         y_blk = y_blk.astype(dtype)     # u8 counts -> f32, fused per tile
         s = jnp.dot(a, b_blk.T, preferred_element_type=jnp.float32,
                     precision=prec)                                  # [N, BI]
@@ -93,7 +99,7 @@ def sweep_dense(elog_a: jax.Array, elog_b: jax.Array,
 
     init = (jnp.zeros((n, k), dtype), jnp.zeros((n,), dtype))
     (acc_a_raw, acc_ba), (acc_b_blocks, acc_bb_blocks) = jax.lax.scan(
-        body, init, (b_blocks, y_blocks, bb_blocks))
+        body, init, jnp.arange(nb, dtype=jnp.int32))
     acc_a = a * acc_a_raw
     acc_b = acc_b_blocks.reshape(mp, k)[:m]
     acc_bb = acc_bb_blocks.reshape(mp)[:m]
