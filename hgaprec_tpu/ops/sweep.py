@@ -53,7 +53,10 @@ def sweep_dense(elog_a: jax.Array, elog_b: jax.Array,
                 precision: str = "highest") -> SweepResult:
     """Dense-blocked sweep. dense_y: u8/f32[N, >=M] counts (0 = none)."""
     prec = None if precision == "default" else jax.lax.Precision.HIGHEST
-    n = dense_y.shape[0]
+    n = elog_a.shape[0]
+    if dense_y.shape[0] != n:
+        raise ValueError(f"dense_y rows {dense_y.shape[0]} != factor rows "
+                         f"{n}; pad the factor tables (row_mask) instead")
     m = elog_b.shape[0]
     k = elog_a.shape[1]
     dtype = elog_a.dtype
