@@ -13,7 +13,8 @@ work unchanged:
 
 TPU-native extensions: -sweep dense|segment|auto, -devices D (shard over
 a D-chip mesh), -resume (continue training from the native checkpoint),
--outdir PATH, -cpu (force the CPU backend).
+-outdir PATH, -cpu (force the CPU backend), -trace DIR (run training
+under jax.profiler.trace for TensorBoard/xprof).
 """
 
 from __future__ import annotations
@@ -48,15 +49,23 @@ def main(argv: Optional[List[str]] = None) -> int:
         "als": False, "wals": False, "wals_l": 0.1, "wals_C": 10,
         "climf": False, "ctr": False, "rating_threshold": 1,
         "dataset": "movielens", "strid": False,
+        # parsed-but-unused knobs kept for invocation parity
+        # (main.cc:107-108, 115-119, 153-158; stored in Env, never read
+        # by the model)
+        "p": False, "nmi": False, "ground_truth_fname": "",
+        "pred_accuracy": False, "gt_accuracy": False,
         # TPU-native extensions
         "sweep": "auto", "devices": 0, "resume": False, "outdir": None,
         "cpu": False, "item_block": 4096, "precision": "highest",
+        "trace": None,
     }
 
     i = 0
     def nexta():
         nonlocal i
         i += 1
+        if i >= len(argv):
+            raise SystemExit(f"error: option {argv[i - 1]} requires a value")
         return argv[i]
     while i < len(argv):
         arg = argv[i]
@@ -72,6 +81,18 @@ def main(argv: Optional[List[str]] = None) -> int:
             o["rfreq"] = int(nexta())
         elif arg == "-strid":
             o["strid"] = True
+        elif arg == "-p":
+            o["p"] = True
+        elif arg == "-nmi":
+            o["nmi"] = True
+            o["ground_truth_fname"] = nexta()
+            print(f"+ ground truth fname = {o['ground_truth_fname']}")
+        elif arg == "-pred-accuracy":
+            o["pred_accuracy"] = True
+            print("+ compute predictive accuracy")
+        elif arg == "-gt-accuracy":
+            o["gt_accuracy"] = True
+            print("+ compute  accuracy to ground truth")
         elif arg == "-label":
             o["label"] = nexta()
         elif arg == "-logl":
@@ -166,6 +187,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             o["item_block"] = int(nexta())
         elif arg == "-precision":
             o["precision"] = nexta()
+        elif arg == "-trace":
+            o["trace"] = nexta()
         elif arg in ("-h", "--help"):
             _usage()
             return 0
@@ -209,7 +232,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         datdir=o["dir"], outdir=o["outdir"], label=o["label"],
         rfreq=o["rfreq"], max_iterations=o["max_iterations"],
         seed=int(o["seed"]), rating_threshold=o["rating_threshold"],
-        logl=o["logl"], batch=o["batch"])
+        logl=o["logl"], batch=o["batch"], trace_dir=o["trace"])
 
     from hgaprec_tpu.models.engine import Trainer
     tr = Trainer(store, validation, test, mcfg, rcfg)

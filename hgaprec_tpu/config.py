@@ -107,6 +107,10 @@ class RunConfig:
     num_precision_users: int = 1000   # sampled users per precision report (hgaprec.cc:1715)
     topn_by_user: int = 100           # _topN_by_user (hgaprec.cc:30)
     write_marginals: bool = True
+    # TPU-native observability (SURVEY.md §5: the reference has none —
+    # only wall-clock seconds in validation.txt): when set, training runs
+    # under jax.profiler.trace(trace_dir) for TensorBoard/xprof.
+    trace_dir: Optional[str] = None
 
     def derive_outdir(self, mc: ModelConfig) -> str:
         """Reference output-dir naming (env.hh:283-369) for supported flags."""

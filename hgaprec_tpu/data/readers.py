@@ -136,6 +136,19 @@ def read_netflix_metadata(path: str) -> Dict[int, Tuple[str, str]]:
     return out
 
 
+def read_nyt_titles(path: str) -> Dict[int, str]:
+    """nyt-titles.tsv pipe-delimited `id|title` -> {ext_id: title}
+    (ratings.cc:121-152)."""
+    out = {}
+    with open(path, encoding="utf-8", errors="replace") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("|", 1)
+            if parts and parts[0].strip().isdigit():
+                out[int(parts[0])] = parts[1].strip() if len(parts) > 1 \
+                    else ""
+    return out
+
+
 def create_train_test_sets(u: np.ndarray, i: np.ndarray, y: np.ndarray,
                            outdir: str, *, heldout_ratio: float = 0.2,
                            validation_ratio: float = 0.01,

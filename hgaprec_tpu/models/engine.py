@@ -264,16 +264,35 @@ class Trainer:
             self.logl()
 
     def run(self, max_iters: Optional[int] = None) -> ModelState:
-        """Train until the stopping rule fires (or an iteration cap)."""
+        """Train until the stopping rule fires (or an iteration cap).
+
+        With rcfg.trace_dir set, the whole loop runs under
+        jax.profiler.trace for TensorBoard/xprof (the reference has no
+        profiler at all — SURVEY.md §5)."""
+        if self.rcfg.trace_dir:
+            import jax
+            with jax.profiler.trace(self.rcfg.trace_dir):
+                return self._run_loop(max_iters)
+        return self._run_loop(max_iters)
+
+    def _run_loop(self, max_iters: Optional[int] = None) -> ModelState:
         cap = max_iters
         if cap is None:
             if self.mcfg.hier or self.rcfg.enforce_max_iterations:
                 cap = self.rcfg.max_iterations
+        last_report = (time.time(), 0)
         while True:
             if cap is not None and self.iteration > cap:
                 break
             self.state = self.step(self.state, self.data)
             if self.iteration % self.rcfg.rfreq == 0:
+                now = time.time()
+                t0, it0 = last_report
+                if self.iteration > it0:
+                    rate = (self.iteration - it0) / max(now - t0, 1e-9)
+                    self.log(f"iteration {self.iteration}: "
+                             f"{rate:.1f} iters/s")
+                last_report = (now, self.iteration)
                 self.report()
             if self._stop_requested:
                 self.log(f"stopping at iteration {self.iteration} "
