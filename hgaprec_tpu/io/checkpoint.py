@@ -35,10 +35,16 @@ def _save_mat(path: str, x: np.ndarray, idmap: Dict[int, int]) -> None:
     x = np.atleast_2d(np.asarray(x))
     if x.shape[0] == 1 and x.size > 1:
         x = x.T  # 1-D arrays saved one value per row (matrix.hh:726-744)
+    ext = np.fromiter((_id_of(idmap, i) for i in range(x.shape[0])),
+                      np.int64, x.shape[0])
+    # native threaded writer (native/fastsave.cc); Python fallback below
+    from hgaprec_tpu.data import native
+    if native.write_tsv_mat(path, x.astype(np.float32, copy=False), ext):
+        return
     with open(path, "w") as f:
         for i in range(x.shape[0]):
             vals = "\t".join(f"{v:.8f}" for v in x[i])
-            f.write(f"{i}\t{_id_of(idmap, i)}\t{vals}\n")
+            f.write(f"{i}\t{int(ext[i])}\t{vals}\n")
 
 
 def _load_mat(path: str) -> np.ndarray:
