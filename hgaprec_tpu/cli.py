@@ -415,8 +415,13 @@ def _dispatch(o, store, validation, test, mcfg, rcfg, tr) -> int:
             tr.load_model()
             print(f"+ resuming from iteration {tr.iteration}")
     if o["devices"] > 1:
-        print(f"+ sharding over {o['devices']} devices")
-        _run_sharded(tr, mcfg, rcfg, o["devices"])
+        import jax
+        ndev = min(o["devices"], len(jax.devices()))
+        if ndev != o["devices"]:
+            print(f"+ only {ndev} devices available "
+                  f"(requested {o['devices']})")
+        print(f"+ sharding over {ndev} devices")
+        _run_sharded(tr, mcfg, rcfg, ndev)
     else:
         tr.run()
     return 0
@@ -427,6 +432,7 @@ def _run_sharded(tr, mcfg, rcfg, ndev):
     import jax
     from hgaprec_tpu.parallel.sharded import build_sharded_run, make_mesh
     mesh = make_mesh(jax.devices()[:ndev])
+    tr.eval_mesh = mesh
     run = build_sharded_run(tr.store, mcfg, mesh, seed=rcfg.seed)
     cap = rcfg.max_iterations if mcfg.hier else None
     while True:

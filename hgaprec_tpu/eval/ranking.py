@@ -84,10 +84,31 @@ def masked_user_scores(sc: Scorer, store: RatingsStore, index: EvalIndex,
 DEVICE_TOPK_THRESHOLD = 65536
 
 
+def _mask_matrix(store: RatingsStore, index: EvalIndex,
+                 users: np.ndarray) -> np.ndarray:
+    """i32[S, D] of global item ids to zero-score, padded out-of-range."""
+    masks = [np.union1d(store.items_of_user(int(n)),
+                        index.val_items(int(n))).astype(np.int64)
+             for n in users]
+    d = max(max((mk.size for mk in masks), default=1), 1)
+    cols = np.full((len(users), d), -(10 ** 9), np.int32)
+    for r, mk in enumerate(masks):
+        cols[r, :mk.size] = mk
+    return cols
+
+
 def top_candidates(sc: Scorer, store: RatingsStore, index: EvalIndex,
-                   users: np.ndarray, topn: int):
-    """(values [S, topn], ids [S, topn]) of the masked ranking."""
+                   users: np.ndarray, topn: int, mesh=None):
+    """(values [S, topn], ids [S, topn]) of the masked ranking.
+
+    mesh: when given (and >1 device), items are sharded over it and the
+    per-shard top-k lists are all_gather-merged (parallel/sharded.py)."""
     topn_eff = min(topn, store.m)
+    if mesh is not None and mesh.devices.size > 1:
+        from hgaprec_tpu.parallel.sharded import sharded_masked_topk
+        return sharded_masked_topk(sc, mesh, users,
+                                   _mask_matrix(store, index, users),
+                                   k=topn_eff)
     if store.m > DEVICE_TOPK_THRESHOLD:
         from hgaprec_tpu.eval.topk import masked_topk
         return masked_topk(sc, store, index, users, k=topn_eff)
@@ -100,9 +121,9 @@ def compute_precision(sc: Scorer, store: RatingsStore, index: EvalIndex,
                       test: CountMap, users: np.ndarray,
                       precision_file: Optional[TextIO],
                       ranking_path: Optional[str] = None,
-                      topn: int = 100) -> Dict[str, float]:
+                      topn: int = 100, mesh=None) -> Dict[str, float]:
     """One precision report; optionally writes ranking.tsv."""
-    top_vals, top_idx = top_candidates(sc, store, index, users, topn)
+    top_vals, top_idx = top_candidates(sc, store, index, users, topn, mesh)
     topn_eff = top_idx.shape[1]
     f = open(ranking_path, "w") if ranking_path else None
     mhits10 = mhits100 = 0.0

@@ -80,6 +80,9 @@ class Trainer:
         self._rng = np.random.default_rng(
             (rcfg.seed or 0) + 1000003)  # eval sampling stream
         self._sampled_users: Optional[np.ndarray] = None
+        # set by the sharded driver: items sharded over this mesh for the
+        # ranking eval (per-shard top-k + all_gather merge)
+        self.eval_mesh = None
         self._files: Dict[str, object] = {}
         self._open_outputs()
         self._write_param_txt()
@@ -201,7 +204,8 @@ class Trainer:
             else None
         return rank_mod.compute_precision(
             self.scorer(), self.store, self.index, self.test, users,
-            self._files["precision.txt"], path, self.rcfg.topn_by_user)
+            self._files["precision.txt"], path, self.rcfg.topn_by_user,
+            self.eval_mesh)
 
     def compute_itemrank(self, final: bool):
         if self.iteration % 100 == 0 and self.iteration > 0:
@@ -228,7 +232,7 @@ class Trainer:
             self.scorer(), self.store, self.index, self.test, users,
             self._files["precision.txt"],
             os.path.join(self.outdir, "ranking.tsv"),
-            self.rcfg.topn_by_user)
+            self.rcfg.topn_by_user, self.eval_mesh)
         rank_mod.compute_itemrank(self.scorer(), self.store,
                                   self.index, users, self.outdir)
 

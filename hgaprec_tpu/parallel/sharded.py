@@ -250,3 +250,82 @@ def build_sharded_run(store: RatingsStore, cfg: ModelConfig,
 
 def _local_step(state, data, row_mask, *, cfg):
     return cavi_step(state, data, cfg, axis_name=AXIS, row_mask=row_mask)
+
+
+# -- item-sharded ranking eval ----------------------------------------------
+#
+# SURVEY §2.3(4): the ranking matmul + top-k sharded over the item axis —
+# each device scores its item shard for the evaluated users, masks
+# train/validation entries, takes a local top-k, and an all_gather + merge
+# yields the global top-k. The K-vector user factors ride to every chip
+# replicated; only [ndev, S, k] candidate lists cross the ICI.
+
+
+def sharded_masked_topk(sc, mesh: Mesh, users: np.ndarray,
+                        mask_cols: np.ndarray, k: int = 100):
+    """Global masked top-k with items sharded over the mesh.
+
+    sc: eval.score.Scorer; users: i64[S]; mask_cols: i32[S, D] global item
+    ids to force to score 0.0 (reference semantics, hgaprec.cc:1729-1737),
+    padded with out-of-range values. Returns (vals f32[S, k], ids i32[S, k]).
+    """
+    ndev = mesh.devices.size
+    m, kdim = sc.sv.shape
+    m_pad = -(-m // ndev) * ndev
+    m_local = m_pad // ndev
+    k_local = min(k, m_local)
+
+    sv = jax.device_put(_pad_to(np.asarray(sc.sv), m_pad),
+                        NamedSharding(mesh, P(AXIS, None)))
+    bias = sc.bias_u is not None
+    bi = (jax.device_put(_pad_to(np.asarray(sc.bias_i), m_pad),
+                         NamedSharding(mesh, P(AXIS)))
+          if bias else jax.device_put(np.zeros(m_pad, np.float32),
+                                      NamedSharding(mesh, P(AXIS))))
+    su_users = np.asarray(sc.su)[np.asarray(users)]
+    bu_users = (np.asarray(sc.bias_u)[np.asarray(users)] if bias
+                else np.zeros(len(users), np.float32))
+    rep = NamedSharding(mesh, P(None, None))
+    su_users = jax.device_put(su_users.astype(np.float32), rep)
+    bu_users = jax.device_put(bu_users.astype(np.float32),
+                              NamedSharding(mesh, P(None)))
+    mask_dev = jax.device_put(np.asarray(mask_cols, np.int32), rep)
+    off = float(sc.global_off)
+
+    def local(sv_l, bi_l, su_u, bu_u, mask):
+        d = jax.lax.axis_index(AXIS)
+        c0 = d * m_local
+        scores = jnp.dot(su_u, sv_l.T, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        if bias:
+            scores = scores + bu_u[:, None] + bi_l[None, :]
+        scores = scores + off
+        col_ids = c0 + jnp.arange(m_local, dtype=jnp.int32)
+        scores = jnp.where(col_ids[None, :] < m, scores, -1.0)
+        local_cols = mask - c0
+        local_cols = jnp.where((local_cols >= 0) & (local_cols < m_local),
+                               local_cols, m_local + 7)
+        rows = jnp.broadcast_to(
+            jnp.arange(scores.shape[0], dtype=jnp.int32)[:, None],
+            mask.shape)
+        scores = scores.at[rows, local_cols].set(0.0, mode="drop")
+        v, i = jax.lax.top_k(scores, k_local)
+        ids = col_ids[i]
+        # [ndev, S, k_local] on every chip
+        av = jax.lax.all_gather(v, AXIS)
+        ai = jax.lax.all_gather(ids, AXIS)
+        s_count = av.shape[1]
+        av = jnp.transpose(av, (1, 0, 2)).reshape(s_count, -1)
+        ai = jnp.transpose(ai, (1, 0, 2)).reshape(s_count, -1)
+        kk = min(k, av.shape[1])
+        v2, sel = jax.lax.top_k(av, kk)
+        return v2, jnp.take_along_axis(ai, sel, axis=1)
+
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS), P(None, None), P(None),
+                  P(None, None)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False))
+    vals, ids = fn(sv, bi, su_users, bu_users, mask_dev)
+    return np.asarray(vals), np.asarray(ids)

@@ -61,6 +61,74 @@ def test_sharded_matches_single(rng, variant, kw, dense):
         close(got.beta_mle, state.beta_mle, "beta_mle")
 
 
+def test_sharded_topk_matches_streamed(rng):
+    """Item-sharded top-k (all_gather merge) == single-device streamed."""
+    from hgaprec_tpu.eval.topk import masked_topk
+    from hgaprec_tpu.models.step import make_step
+    from hgaprec_tpu.eval.ranking import EvalIndex
+    from hgaprec_tpu.eval.score import scorer_from_state
+    from hgaprec_tpu.parallel.sharded import sharded_masked_topk
+
+    store, validation, test = make_synthetic(rng, n=37, m=61, density=0.25)
+    cfg = ModelConfig(n=store.n, m=store.m, k=4, variant="bpf")
+    data = build_device_data(store, pad_multiple=128)
+    state = init_state(cfg, seed=3)
+    step = make_step(cfg)
+    for _ in range(2):
+        state = step(state, data)
+    sc = scorer_from_state(state, cfg)
+    index = EvalIndex(validation, test)
+    users = np.arange(0, store.n, 3)
+
+    masks = []
+    for n in users:
+        masks.append(np.union1d(store.items_of_user(int(n)),
+                                index.val_items(int(n))).astype(np.int64))
+    d = max(max((mk.size for mk in masks), default=1), 1)
+    mask_cols = np.full((len(users), d), -(10 ** 9), np.int32)
+    for r, mk in enumerate(masks):
+        mask_cols[r, :mk.size] = mk
+
+    v_ref, i_ref = masked_topk(sc, store, index, users, k=7)
+    v_got, i_got = sharded_masked_topk(sc, make_mesh(), users, mask_cols,
+                                       k=7)
+    np.testing.assert_allclose(v_got, v_ref, rtol=1e-5, atol=1e-6)
+    # ids may legitimately differ only on exact score ties
+    ties = np.isclose(v_ref, np.roll(v_ref, 1, axis=1))
+    same = (i_got == i_ref) | ties | np.roll(ties, -1, axis=1)
+    assert same.all()
+
+
+def test_sharded_topk_bias_and_small_k(rng):
+    """Bias path + k larger than one shard's local item count."""
+    from hgaprec_tpu.eval.ranking import EvalIndex
+    from hgaprec_tpu.eval.score import scorer_from_state
+    from hgaprec_tpu.eval.topk import masked_topk
+    from hgaprec_tpu.parallel.sharded import sharded_masked_topk
+
+    store, validation, test = make_synthetic(rng, n=19, m=17, density=0.3)
+    cfg = ModelConfig(n=store.n, m=store.m, k=3, variant="bpf", bias=True)
+    data = build_device_data(store, pad_multiple=128)
+    state = init_state(cfg, seed=9)
+    step = make_step(cfg)
+    state = step(state, data)
+    sc = scorer_from_state(state, cfg)
+    index = EvalIndex(validation, test)
+    users = np.arange(store.n, dtype=np.int64)
+    masks = [np.union1d(store.items_of_user(int(n)),
+                        index.val_items(int(n))).astype(np.int64)
+             for n in users]
+    d = max(max((mk.size for mk in masks), default=1), 1)
+    mask_cols = np.full((len(users), d), -(10 ** 9), np.int32)
+    for r, mk in enumerate(masks):
+        mask_cols[r, :mk.size] = mk
+
+    # k=5 > m_local=3 (17 items over 8 devices)
+    v_ref, _ = masked_topk(sc, store, index, users, k=5)
+    v_got, _ = sharded_masked_topk(sc, make_mesh(), users, mask_cols, k=5)
+    np.testing.assert_allclose(v_got, v_ref, rtol=1e-5, atol=1e-6)
+
+
 def test_uneven_rows_masked(rng):
     """n not divisible by ndev: padded rows must not perturb results."""
     store, _, _ = make_synthetic(rng, n=41, m=23, density=0.3)
