@@ -11,8 +11,9 @@ work unchanged:
               [-write-training] [-lda|-vwlda|-nmf|-nmfload|-vwload]
               [-chi [-als|-wals|-chinmf|-climf]] [-ctr]
 
-TPU-native extensions: -sweep dense|segment|auto, -devices D (shard over
-a D-chip mesh), -resume (continue training from the native checkpoint),
+TPU-native extensions: -sweep dense|segment|segment-chunked|auto,
+-devices D (shard over a D-chip mesh),
+-resume (continue training from the native checkpoint),
 -outdir PATH, -cpu (force the CPU backend), -trace DIR (run training
 under jax.profiler.trace for TensorBoard/xprof).
 """

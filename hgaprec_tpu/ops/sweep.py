@@ -24,6 +24,7 @@ Both return identical accumulators: the linear-space sums of y*phi.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -46,12 +47,32 @@ def _pad_rows(x: jax.Array, rows: int) -> jax.Array:
     return jnp.pad(x, pad)
 
 
+def _user_block_of(rows: int, user_block: int) -> int:
+    """Largest power-of-2 divisor of `rows`, capped at user_block.
+
+    Row counts are padded to a power-of-2 multiple at build time, so this
+    always yields a usable tile height; a non-divisible user_block would
+    otherwise force a full copy of the uint8 Y every step."""
+    if rows <= user_block:
+        return rows
+    ub = rows & (-rows)  # largest power-of-2 divisor
+    while ub > user_block:
+        ub //= 2
+    return ub
+
+
 def sweep_dense(elog_a: jax.Array, elog_b: jax.Array,
                 elog_bias_a: Optional[jax.Array],
                 elog_bias_b: Optional[jax.Array],
                 dense_y: jax.Array, *, item_block: int = 4096,
+                user_block: int = 16384,
                 precision: str = "highest") -> SweepResult:
-    """Dense-blocked sweep. dense_y: u8/f32[N, >=M] counts (0 = none)."""
+    """Dense-blocked sweep. dense_y: u8/f32[N, >=M] counts (0 = none).
+
+    Two-level streaming: an outer scan over user blocks (reshape of Y —
+    free, row-major) and an inner scan over item blocks, so the score
+    tile is [user_block, item_block] regardless of N (at Netflix scale a
+    single-level [N, item_block] f32 tile would exceed HBM)."""
     prec = None if precision == "default" else jax.lax.Precision.HIGHEST
     n = elog_a.shape[0]
     if dense_y.shape[0] != n:
@@ -77,38 +98,55 @@ def sweep_dense(elog_a: jax.Array, elog_b: jax.Array,
     b_pad = _pad_rows(b, mp)
     bb_pad = (_pad_rows(bb, mp) if bias else jnp.zeros((mp,), dtype))
 
-    def body(carry, c):
+    ub = _user_block_of(n, user_block)
+    nu = n // ub
+    y_r = dense_y.reshape(nu, ub, mp)
+    a_r = a.reshape(nu, ub, k)
+    ba_r = (ba if bias else jnp.zeros((n,), dtype)).reshape(nu, ub)
+
+    def inner(carry, c, *, a_u, ba_u, y_u):
         acc_a_c, acc_ba_c = carry
         c0 = c * item_block
         b_blk = jax.lax.dynamic_slice_in_dim(b_pad, c0, item_block, 0)
-        y_blk = jax.lax.dynamic_slice_in_dim(dense_y, c0, item_block, 1)
+        y_blk = jax.lax.dynamic_slice_in_dim(y_u, c0, item_block, 1)
         bb_blk = jax.lax.dynamic_slice_in_dim(bb_pad, c0, item_block, 0)
         y_blk = y_blk.astype(dtype)     # u8 counts -> f32, fused per tile
-        s = jnp.dot(a, b_blk.T, preferred_element_type=jnp.float32,
-                    precision=prec)                                  # [N, BI]
+        s = jnp.dot(a_u, b_blk.T, preferred_element_type=jnp.float32,
+                    precision=prec)                                # [UB, BI]
         if bias:
-            s = s + ba[:, None] + bb_blk[None, :]
+            s = s + ba_u[:, None] + bb_blk[None, :]
         w = jnp.where(y_blk > 0, y_blk / s, 0.0).astype(dtype)
         acc_a_c = acc_a_c + jnp.dot(w, b_blk, precision=prec,
                                     preferred_element_type=jnp.float32)
-        acc_b_blk = b_blk * jnp.dot(w.T, a, precision=prec,
-                                    preferred_element_type=jnp.float32)
+        acc_b_blk = jnp.dot(w.T, a_u, precision=prec,
+                            preferred_element_type=jnp.float32)
         if bias:
             acc_ba_c = acc_ba_c + jnp.sum(w, axis=1)
-            acc_bb_blk = bb_blk * jnp.sum(w, axis=0)
+            acc_bb_blk = jnp.sum(w, axis=0)
         else:
             acc_bb_blk = jnp.zeros((item_block,), dtype)
         return (acc_a_c, acc_ba_c), (acc_b_blk, acc_bb_blk)
 
-    init = (jnp.zeros((n, k), dtype), jnp.zeros((n,), dtype))
-    (acc_a_raw, acc_ba), (acc_b_blocks, acc_bb_blocks) = jax.lax.scan(
-        body, init, jnp.arange(nb, dtype=jnp.int32))
-    acc_a = a * acc_a_raw
-    acc_b = acc_b_blocks.reshape(mp, k)[:m]
-    acc_bb = acc_bb_blocks.reshape(mp)[:m]
+    def outer(carry, xs):
+        acc_b_tot, acc_bb_tot = carry
+        a_u, ba_u, y_u = xs
+        init = (jnp.zeros((ub, k), dtype), jnp.zeros((ub,), dtype))
+        (acc_a_u, acc_ba_u), (b_blocks, bb_blocks) = jax.lax.scan(
+            functools.partial(inner, a_u=a_u, ba_u=ba_u, y_u=y_u),
+            init, jnp.arange(nb, dtype=jnp.int32))
+        acc_b_tot = acc_b_tot + b_blocks.reshape(mp, k)
+        acc_bb_tot = acc_bb_tot + bb_blocks.reshape(mp)
+        return (acc_b_tot, acc_bb_tot), (acc_a_u, acc_ba_u)
+
+    init = (jnp.zeros((mp, k), dtype), jnp.zeros((mp,), dtype))
+    (acc_b_raw, acc_bb_raw), (acc_a_blocks, acc_ba_blocks) = jax.lax.scan(
+        outer, init, (a_r, ba_r, y_r))
+
+    acc_a = a * acc_a_blocks.reshape(n, k)
+    acc_b = b * acc_b_raw[:m]
     if bias:
-        acc_ba = ba * acc_ba
-        acc_bb = acc_bb  # already scaled by bb inside body
+        acc_ba = ba * acc_ba_blocks.reshape(n)
+        acc_bb = bb * acc_bb_raw[:m]
         return SweepResult(acc_a, acc_b, acc_ba, acc_bb)
     return SweepResult(acc_a, acc_b, None, None)
 
@@ -146,15 +184,92 @@ def sweep_segment(elog_a: jax.Array, elog_b: jax.Array,
     return SweepResult(acc_a, acc_b, None, None)
 
 
+# above this many padded nonzeros the [P, K] phi matrix is streamed in
+# chunks (EchoNest: P ~ 48M, K = 100 -> 19 GB if materialized at once)
+SEGMENT_CHUNK_THRESHOLD = 4 << 20
+SEGMENT_CHUNK = 1 << 20
+
+
+def sweep_segment_chunked(elog_a: jax.Array, elog_b: jax.Array,
+                          elog_bias_a: Optional[jax.Array],
+                          elog_bias_b: Optional[jax.Array],
+                          data: DeviceData,
+                          chunk: int = SEGMENT_CHUNK) -> SweepResult:
+    """Segment sweep streamed over nonzero chunks.
+
+    Identical math to sweep_segment, but the [P, K] phi tensor only ever
+    exists [chunk, K] at a time; each chunk's contributions land in the
+    full-size accumulators via segment_sum (chunks of a sorted id array
+    are themselves sorted)."""
+    n, k = elog_a.shape
+    m = elog_b.shape[0]
+    bias = elog_bias_a is not None
+    p = data.u_ids.shape[0]
+    nc = -(-p // chunk)
+    pp = nc * chunk
+
+    def padi(x, fill):
+        return (x if x.shape[0] == pp else
+                jnp.pad(x, (0, pp - x.shape[0]), constant_values=fill))
+
+    # user-ordered stream
+    u_ids = padi(data.u_ids, n - 1).reshape(nc, chunk)
+    i_ids = padi(data.i_ids, m - 1).reshape(nc, chunk)
+    y_u = padi(data.y, 0.0).reshape(nc, chunk)
+    # item-ordered stream
+    i_s = padi(data.i_ids_sorted, m - 1).reshape(nc, chunk)
+    u_s = padi(data.u_ids_by_item, n - 1).reshape(nc, chunk)
+    y_s = padi(data.y[data.item_order], 0.0).reshape(nc, chunk)
+
+    def phis_of(uu, ii, yy):
+        logits = elog_a[uu] + elog_b[ii]
+        if bias:
+            logits = jnp.concatenate(
+                [logits, elog_bias_a[uu][:, None],
+                 elog_bias_b[ii][:, None]], axis=1)
+        lse = jax.scipy.special.logsumexp(logits, axis=1, keepdims=True)
+        return yy[:, None] * jnp.exp(logits - lse)
+
+    def body(carry, xs):
+        acc_a, acc_b, acc_ba, acc_bb = carry
+        uu, ii, yy, iis, uus, yys = xs
+        ph_u = phis_of(uu, ii, yy)
+        acc_a = acc_a + jax.ops.segment_sum(ph_u[:, :k], uu, num_segments=n,
+                                            indices_are_sorted=True)
+        ph_i = phis_of(uus, iis, yys)
+        acc_b = acc_b + jax.ops.segment_sum(ph_i[:, :k], iis, num_segments=m,
+                                            indices_are_sorted=True)
+        if bias:
+            acc_ba = acc_ba + jax.ops.segment_sum(
+                ph_u[:, k], uu, num_segments=n, indices_are_sorted=True)
+            acc_bb = acc_bb + jax.ops.segment_sum(
+                ph_i[:, k + 1], iis, num_segments=m,
+                indices_are_sorted=True)
+        return (acc_a, acc_b, acc_ba, acc_bb), None
+
+    dt = elog_a.dtype
+    init = (jnp.zeros((n, k), dt), jnp.zeros((m, k), dt),
+            jnp.zeros((n,), dt), jnp.zeros((m,), dt))
+    (acc_a, acc_b, acc_ba, acc_bb), _ = jax.lax.scan(
+        body, init, (u_ids, i_ids, y_u, i_s, u_s, y_s))
+    if bias:
+        return SweepResult(acc_a, acc_b, acc_ba, acc_bb)
+    return SweepResult(acc_a, acc_b, None, None)
+
+
 def sweep(elog_a, elog_b, elog_bias_a, elog_bias_b, data: DeviceData,
-          mode: str, item_block: int = 4096,
+          mode: str, item_block: int = 4096, user_block: int = 16384,
           precision: str = "highest") -> SweepResult:
     if mode == "dense":
         if data.dense_y is None:
             raise ValueError("dense sweep requested but dense_y not built")
         return sweep_dense(elog_a, elog_b, elog_bias_a, elog_bias_b,
                            data.dense_y, item_block=item_block,
-                           precision=precision)
+                           user_block=user_block, precision=precision)
+    if (mode == "segment-chunked" or
+            data.u_ids.shape[0] > SEGMENT_CHUNK_THRESHOLD):
+        return sweep_segment_chunked(elog_a, elog_b, elog_bias_a,
+                                     elog_bias_b, data)
     return sweep_segment(elog_a, elog_b, elog_bias_a, elog_bias_b, data)
 
 

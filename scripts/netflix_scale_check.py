@@ -32,47 +32,56 @@ jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
 N, M, K = 480189, 17770, 100
 SCALE = 0.12
-CHUNK = 8192
+CHUNK = 4096
+ITEM_BLOCK = 4096
+# columns baked padded to the item block so the sweep slices in place —
+# an in-jit pad would copy the ~10 GB uint8 matrix every step
+M_PAD = -(-M // ITEM_BLOCK) * ITEM_BLOCK
 
 
 def build_dense_on_device(seed: int = 7):
-    """u8[N_pad, M] counts sampled from the HPF generative model on-chip."""
-    n_pad = -(-N // CHUNK) * CHUNK
-    key = jax.random.PRNGKey(seed)
-    kb, ke = jax.random.split(key)
-    eta = jax.random.gamma(ke, 1.8, (M,)) / 0.3
-    beta = jax.random.gamma(kb, 0.3, (M, 8)) / eta[:, None]
+    """u8[N_pad, M] counts sampled from the HPF generative model on-chip.
 
-    import functools
+    One jitted lax.scan over user chunks — a single device dispatch with
+    no per-chunk host syncs (the chunked-dispatch version spent ~8.5 s of
+    tunnel latency per chunk)."""
+    n_pad = -(-N // CHUNK) * CHUNK
+    nchunks = n_pad // CHUNK
+    key = jax.random.PRNGKey(seed)
+    kb, ke, kloop = jax.random.split(key, 3)
 
     @jax.jit
-    def chunk_counts(key, row0):
-        kx, kt, ku, kp = jax.random.split(key, 4)
-        xi = jax.random.gamma(kx, 1.8, (CHUNK,)) / 0.3
-        theta = jax.random.gamma(kt, 0.3, (CHUNK, 8)) / xi[:, None]
-        rate = SCALE * jnp.dot(theta, beta.T,
-                               preferred_element_type=jnp.float32)
-        p = -jnp.expm1(-rate)
-        mask = jax.random.uniform(ku, rate.shape) < p
-        extra = jax.random.poisson(kp, rate)
-        y = jnp.where(mask, 1 + extra, 0)
-        # rows past N are zeroed
-        rows = row0 + jnp.arange(CHUNK)[:, None]
-        y = jnp.where(rows < N, y, 0)
-        return jnp.minimum(y, 255).astype(jnp.uint8)
+    def gen(kb, ke, kloop):
+        eta = jax.random.gamma(ke, 1.8, (M,)) / 0.3
+        beta = jax.random.gamma(kb, 0.3, (M, 8)) / eta[:, None]
+        # padding columns get zero rate -> zero counts
+        beta = jnp.pad(beta, ((0, M_PAD - M), (0, 0)))
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def place(dense, blk, lo):
-        return jax.lax.dynamic_update_slice(dense, blk, (lo, 0))
+        def body(carry, c):
+            dense, nnz, k = carry
+            k, kx, kt, ku, kp = jax.random.split(k, 5)
+            xi = jax.random.gamma(kx, 1.8, (CHUNK,)) / 0.3
+            theta = jax.random.gamma(kt, 0.3, (CHUNK, 8)) / xi[:, None]
+            rate = SCALE * jnp.dot(theta, beta.T,
+                                   preferred_element_type=jnp.float32)
+            p = -jnp.expm1(-rate)
+            mask = jax.random.uniform(ku, rate.shape) < p
+            extra = jax.random.poisson(kp, rate)
+            y = jnp.where(mask, 1 + extra, 0)
+            rows = c * CHUNK + jnp.arange(CHUNK)[:, None]
+            y = jnp.where(rows < N, y, 0)    # rows past N zeroed
+            blk = jnp.minimum(y, 255).astype(jnp.uint8)
+            dense = jax.lax.dynamic_update_slice(dense, blk, (c * CHUNK, 0))
+            return (dense, nnz + jnp.sum(blk > 0, dtype=jnp.int64), k), None
 
-    dense = jnp.zeros((n_pad, M), jnp.uint8)
-    nnz = 0
-    for lo in range(0, n_pad, CHUNK):
-        key, sub = jax.random.split(key)
-        blk = chunk_counts(sub, jnp.int32(lo))
-        nnz += int(jnp.sum(blk > 0))
-        dense = place(dense, blk, jnp.int32(lo))
-    return dense, nnz  # padded rows already zeroed by the sampler
+        init = (jnp.zeros((n_pad, M_PAD), jnp.uint8),
+                jnp.zeros((), jnp.int64), kloop)
+        (dense, nnz, _), _ = jax.lax.scan(
+            body, init, jnp.arange(nchunks, dtype=jnp.int32))
+        return dense, nnz
+
+    dense, nnz = gen(kb, ke, kloop)
+    return dense, int(nnz)
 
 
 def main():
@@ -100,22 +109,25 @@ def main():
     from hgaprec_tpu.models.step import cavi_step
     for prec, tag in (("default", "bf16"), ("highest", "f32")):
         cfg = ModelConfig(n=n_pad, m=M, k=K, variant="hpf", sweep="dense",
-                          matmul_precision=prec, item_block=8192)
+                          matmul_precision=prec, item_block=ITEM_BLOCK)
         state = init_state(cfg, seed=1)
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def step(st, data=data, cfg=cfg):
-            return cavi_step(st, data, cfg, None, row_mask)
+        # NB: data/row_mask must be real arguments — a closed-over 10 GB
+        # jax.Array becomes a jaxpr *constant* and stalls compilation
+        @functools.partial(jax.jit, donate_argnums=(0,),
+                           static_argnames=("cfg",))
+        def step(st, d, rm, cfg=cfg):
+            return cavi_step(st, d, cfg, None, rm)
         t0 = time.time()
-        state = step(state)
+        state = step(state, data, row_mask, cfg=cfg)
         jax.block_until_ready(state)
         print(f"{tag} compile+first {time.time() - t0:.1f}s", flush=True)
-        state = step(state)
+        state = step(state, data, row_mask, cfg=cfg)
         jax.block_until_ready(state)
         t0 = time.time()
         iters = 5
         for _ in range(iters):
-            state = step(state)
+            state = step(state, data, row_mask, cfg=cfg)
         jax.block_until_ready(state)
         ms = (time.time() - t0) / iters * 1e3
         print(f"{tag}: {ms:.0f} ms/iter", flush=True)

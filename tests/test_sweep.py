@@ -80,6 +80,50 @@ def test_paths_agree(rng, bias):
                                    rtol=2e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("bias", [False, True])
+def test_user_blocked_dense_agrees(rng, bias):
+    """rows > user_block: two-level streaming == naive loop."""
+    store, data, elog_a, elog_b, ba, bb = _setup(rng, bias, n=32, m=13,
+                                                 nnz=150)
+    ref = naive_sweep(elog_a, elog_b, ba, bb,
+                      store.coo_u, store.coo_i, store.coo_y)
+    j = lambda x: None if x is None else jnp.asarray(x, jnp.float32)
+    den = sweep_dense(j(elog_a), j(elog_b), j(ba), j(bb), data.dense_y,
+                      item_block=8, user_block=8)
+    np.testing.assert_allclose(np.asarray(den.acc_a), ref[0], rtol=2e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(den.acc_b), ref[1], rtol=2e-4,
+                               atol=1e-5)
+    if bias:
+        np.testing.assert_allclose(np.asarray(den.acc_bias_a), ref[2],
+                                   rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(den.acc_bias_b), ref[3],
+                                   rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("bias", [False, True])
+def test_chunked_segment_agrees(rng, bias):
+    """Streamed segment sweep == one-shot segment sweep."""
+    from hgaprec_tpu.ops.sweep import sweep_segment_chunked
+    store, data, elog_a, elog_b, ba, bb = _setup(rng, bias, n=23, m=19,
+                                                 nnz=130)
+    j = lambda x: None if x is None else jnp.asarray(x, jnp.float32)
+    one = sweep_segment(j(elog_a), j(elog_b), j(ba), j(bb), data)
+    chunked = sweep_segment_chunked(j(elog_a), j(elog_b), j(ba), j(bb),
+                                    data, chunk=48)
+    np.testing.assert_allclose(np.asarray(chunked.acc_a),
+                               np.asarray(one.acc_a), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(chunked.acc_b),
+                               np.asarray(one.acc_b), rtol=1e-5, atol=1e-6)
+    if bias:
+        np.testing.assert_allclose(np.asarray(chunked.acc_bias_a),
+                                   np.asarray(one.acc_bias_a), rtol=1e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(chunked.acc_bias_b),
+                                   np.asarray(one.acc_bias_b), rtol=1e-5,
+                                   atol=1e-6)
+
+
 def test_padding_contributes_nothing(rng):
     store, data, elog_a, elog_b, _, _ = _setup(rng, False)
     j = lambda x: jnp.asarray(x, jnp.float32)
