@@ -447,6 +447,8 @@ def _run_sharded(tr, mcfg, rcfg, ndev):
             break
         tr.iteration += 1
     tr.state = run.unsharded_state()
+    if not tr._on_stop_done:   # max-iterations / SIGTERM exit parity
+        tr.do_on_stop()
 
 
 if __name__ == "__main__":

@@ -77,6 +77,7 @@ class Trainer:
         self._prev_h = 0.0
         self._nh = 0
         self._stop_requested = False
+        self._on_stop_done = False
         self._rng = np.random.default_rng(
             (rcfg.seed or 0) + 1000003)  # eval sampling stream
         self._sampled_users: Optional[np.ndarray] = None
@@ -170,6 +171,7 @@ class Trainer:
 
     def do_on_stop(self):
         """save_model + gen_ranking_for_users(false) (hgaprec.cc:1572-1577)."""
+        self._on_stop_done = True
         self.save_model()
         self.gen_ranking_for_users(load=False)
 
@@ -303,4 +305,8 @@ class Trainer:
                          f"duration {self.duration()}s")
                 break
             self.iteration += 1
+        # reference exits via do_on_stop on max_iterations (hgaprec.cc:
+        # 1336-1339) and SIGTERM (973-976), not just on convergence
+        if not self._on_stop_done:
+            self.do_on_stop()
         return self.state

@@ -103,6 +103,25 @@ def test_stopping_rule_fires(tmp_path, rng):
     tr.close()
 
 
+def test_max_iterations_exit_runs_do_on_stop(tmp_path, rng):
+    """Hitting the iteration cap must still save the model and write the
+    ranking, matching the reference's max-iterations exit path
+    (hgaprec.cc:1336-1339 -> do_on_stop)."""
+    n, m = write_dataset(str(tmp_path), rng)
+    store, validation, test = load_dataset(str(tmp_path), n, m,
+                                           binary=False, rating_threshold=1)
+    mcfg = ModelConfig(n=store.n, m=store.m, k=3, variant="hpf")
+    outdir = str(tmp_path / "out")
+    rcfg = RunConfig(datdir=str(tmp_path), outdir=outdir, rfreq=100, seed=1,
+                     num_precision_users=5)
+    tr = Trainer(store, validation, test, mcfg, rcfg)
+    tr.run(max_iters=3)
+    assert not tr._stop_requested          # cap exit, not convergence
+    assert os.path.exists(os.path.join(outdir, "ranking.tsv"))
+    assert os.path.exists(os.path.join(outdir, "htheta.tsv"))
+    tr.close()
+
+
 def test_checkpoint_roundtrip(tmp_path, rng):
     n, m = write_dataset(str(tmp_path), rng)
     store, validation, test = load_dataset(str(tmp_path), n, m,
