@@ -198,9 +198,15 @@ def main(argv: Optional[List[str]] = None) -> int:
             return 1
         i += 1
 
-    if o["cpu"]:
+    # the shell profile pins JAX to the TPU plugin; a JAX_PLATFORMS env
+    # override is ignored at import time, so honor it (and -cpu) here
+    platform = "cpu" if o["cpu"] else os.environ.get("JAX_PLATFORMS")
+    if platform:
         import jax
-        jax.config.update("jax_platforms", "cpu")
+        try:
+            jax.config.update("jax_platforms", platform)
+        except RuntimeError:
+            pass  # backend already initialized
 
     from hgaprec_tpu.config import ModelConfig, RunConfig
     from hgaprec_tpu.data.ratings import load_dataset

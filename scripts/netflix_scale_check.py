@@ -118,17 +118,19 @@ def main():
                            static_argnames=("cfg",))
         def step(st, d, rm, cfg=cfg):
             return cavi_step(st, d, cfg, None, rm)
+        # fences are host materializations of a value depending on every
+        # prior step — block_until_ready can return early on the tunnel
         t0 = time.time()
         state = step(state, data, row_mask, cfg=cfg)
-        jax.block_until_ready(state)
+        _ = np.asarray(state.theta.e[0, 0])
         print(f"{tag} compile+first {time.time() - t0:.1f}s", flush=True)
         state = step(state, data, row_mask, cfg=cfg)
-        jax.block_until_ready(state)
+        _ = np.asarray(state.theta.e[0, 0])
         t0 = time.time()
-        iters = 5
+        iters = 10
         for _ in range(iters):
             state = step(state, data, row_mask, cfg=cfg)
-        jax.block_until_ready(state)
+        _ = np.asarray(state.theta.e[0, 0])
         ms = (time.time() - t0) / iters * 1e3
         print(f"{tag}: {ms:.0f} ms/iter", flush=True)
         results[f"ms_per_iter_{tag}"] = round(ms, 1)

@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Scaling-efficiency harness for the sharded CAVI step (BASELINE.md).
+
+Runs the user-row-sharded HPF step over meshes of 1..D devices and
+reports per-step time, nonzeros/s throughput, and scaling efficiency
+relative to 1 device, after asserting that every mesh size reproduces
+the single-device state trajectory.
+
+On real multi-chip hardware this measures ICI/DCN scaling directly
+(run one process per host with parallel/distributed.py). Without one,
+run on virtual CPU devices to validate the collective structure:
+
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+      python scripts/scaling_check.py
+
+(virtual devices share the host's cores, so CPU "efficiency" is a lower
+bound — the point there is the parity assertion and the psum layout).
+"""
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+
+# the shell env pins JAX to the TPU plugin and ignores a JAX_PLATFORMS
+# override from the environment; honor it through jax.config instead
+if os.environ.get("JAX_PLATFORMS") or "--cpu" in sys.argv:
+    jax.config.update("jax_platforms",
+                      os.environ.get("JAX_PLATFORMS") or "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(ROOT, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+
+
+def build_store(n, m, nnz_target, seed=11):
+    from hgaprec_tpu.data.ratings import RatingsStore
+    rng = np.random.default_rng(seed)
+    u = rng.integers(0, n, nnz_target)
+    i = rng.integers(0, m, nnz_target)
+    key = u.astype(np.int64) * m + i
+    _, first = np.unique(key, return_index=True)
+    u, i = u[first], i[first]
+    y = rng.integers(1, 6, u.size)
+    store = RatingsStore(n, m)
+    store.user2seq = {int(x): int(x) for x in range(n)}
+    store.seq2user = dict(store.user2seq)
+    store.movie2seq = {int(x): int(x) for x in range(m)}
+    store.seq2movie = dict(store.movie2seq)
+    store._u = list(u)
+    store._i = list(i)
+    store._y = list(np.minimum(y, 255))
+    store.finalize()
+    return store
+
+
+def main():
+    from hgaprec_tpu.config import ModelConfig
+    from hgaprec_tpu.parallel.sharded import build_sharded_run, make_mesh
+
+    devices = jax.devices()
+    on_tpu = devices[0].platform == "tpu"
+    if on_tpu:
+        n, m, k, nnz, iters = 65536, 8192, 100, 4_000_000, 30
+    else:
+        n, m, k, nnz, iters = 1024, 256, 8, 30_000, 4
+    store = build_store(n, m, nnz)
+    print(f"# {len(devices)}x {devices[0].device_kind}: "
+          f"N={n} M={m} K={k} nnz={store.coo_y.size}", file=sys.stderr)
+
+    sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= len(devices)]
+    cfg = ModelConfig(n=n, m=m, k=k, variant="hpf", sweep="dense")
+
+    ref_sum = None
+    results = []
+    for nd in sizes:
+        print(f"# building {nd}-device run", file=sys.stderr, flush=True)
+        mesh = make_mesh(devices[:nd])
+        run = build_sharded_run(store, cfg, mesh, seed=3)
+        # parity: 3 steps must reproduce the 1-device trajectory
+        for _ in range(3):
+            run.step()
+        st = run.unsharded_state()
+        s = float(np.sum(np.asarray(st.theta.e, np.float64)))
+        if ref_sum is None:
+            ref_sum = s
+        else:
+            rel = abs(s - ref_sum) / abs(ref_sum)
+            assert rel < 1e-4, f"{nd}-device state diverged: rel={rel}"
+        # timing (fence = host materialization of a dependent scalar)
+        run.step()
+        _ = np.asarray(run.state.theta.e.addressable_shards[0].data)[0, 0]
+        t0 = time.time()
+        for _ in range(iters):
+            run.step()
+        _ = np.asarray(run.state.theta.e.addressable_shards[0].data)[0, 0]
+        dt = (time.time() - t0) / iters
+        results.append((nd, dt))
+        base = results[0][1]
+        eff = base / (dt * nd)
+        print(json.dumps({
+            "devices": nd, "ms_per_iter": round(dt * 1e3, 3),
+            "nnz_per_sec": round(store.coo_y.size / dt),
+            "scaling_efficiency": round(eff, 3),
+            "parity": "ok"}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
