@@ -260,9 +260,21 @@ def sweep_segment_chunked(elog_a: jax.Array, elog_b: jax.Array,
 def sweep(elog_a, elog_b, elog_bias_a, elog_bias_b, data: DeviceData,
           mode: str, item_block: int = 4096, user_block: int = 16384,
           precision: str = "highest") -> SweepResult:
-    if mode == "dense":
+    if mode in ("dense", "dense-pallas"):
         if data.dense_y is None:
             raise ValueError("dense sweep requested but dense_y not built")
+        from hgaprec_tpu.ops.dense_pallas import (fused_dense_sweep,
+                                                  pallas_dense_ok)
+        m, k = elog_b.shape
+        on_tpu = jax.default_backend() == "tpu"
+        use_pallas = (elog_bias_a is None and pallas_dense_ok(m, k) and
+                      (mode == "dense-pallas" or on_tpu))
+        if use_pallas:
+            a_lin, b_lin = jnp.exp(elog_a), jnp.exp(elog_b)
+            raw_a, raw_b = fused_dense_sweep(
+                a_lin, b_lin, data.dense_y, bf16=(precision == "default"),
+                interpret=not on_tpu)
+            return SweepResult(a_lin * raw_a, b_lin * raw_b, None, None)
         return sweep_dense(elog_a, elog_b, elog_bias_a, elog_bias_b,
                            data.dense_y, item_block=item_block,
                            user_block=user_block, precision=precision)
