@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Segment-path scale check: EchoNest / NYT-preset shapes on one chip.
+
+The dense uint8 stream is impossible at these shapes (EchoNest
+1019318 x 384546 ~ 392 GB dense), so training runs the chunked segment
+sweep (ops/sweep.py::sweep_segment_chunked): the [P, K] phi tensor only
+ever exists [chunk, K] at a time. This harness builds a synthetic COO
+stream at preset scale on the host, times the HPF CAVI step, and writes
+.bench_cache/<preset>_scale.json.
+
+Usage: python scripts/bigsparse_scale_check.py [echonest|nyt] [nnz_millions]
+"""
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+jax.config.update("jax_compilation_cache_dir", os.path.join(ROOT, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+
+# run.pl presets (scripts/run.pl:84-87, 158-161)
+PRESETS = {
+    "echonest": (1019318, 384546),
+    "nyt": (1615675, 107523),
+}
+K = 100
+
+
+def build_coo(n, m, nnz, seed=5):
+    """Power-law-ish synthetic COO stream, user-sorted, deduplicated."""
+    rng = np.random.default_rng(seed)
+    # zipf-flavored marginals: heavy users / popular items
+    u = (n * rng.power(3.0, nnz)).astype(np.int64)
+    i = (m * rng.power(3.0, nnz)).astype(np.int64)
+    u, i = np.minimum(u, n - 1), np.minimum(i, m - 1)
+    key = u * m + i
+    order = np.argsort(key, kind="stable")
+    key = key[order]
+    keep = np.concatenate([[True], key[1:] != key[:-1]])
+    u, i = u[order][keep], i[order][keep]
+    y = rng.integers(1, 5, u.size).astype(np.float32)
+    return u.astype(np.int32), i.astype(np.int32), y
+
+
+def main():
+    preset = sys.argv[1] if len(sys.argv) > 1 else "echonest"
+    nnz_m = float(sys.argv[2]) if len(sys.argv) > 2 else 48.0
+    n, m = PRESETS[preset]
+
+    t0 = time.time()
+    u, i, y = build_coo(n, m, int(nnz_m * 1e6))
+    print(f"host gen {time.time() - t0:.0f}s nnz={u.size / 1e6:.1f}M",
+          flush=True)
+
+    from hgaprec_tpu.config import ModelConfig
+    from hgaprec_tpu.data.device import DeviceData
+    from hgaprec_tpu.models.state import init_state
+    from hgaprec_tpu.models.step import cavi_step
+
+    t0 = time.time()
+    item_order = np.argsort(i, kind="stable").astype(np.int32)
+    j = lambda x: jax.device_put(x)
+    data = DeviceData(u_ids=j(u), i_ids=j(i), y=j(y),
+                      item_order=j(item_order),
+                      i_ids_sorted=j(i[item_order]),
+                      u_ids_by_item=j(u[item_order]), dense_y=None)
+    print(f"device data {time.time() - t0:.0f}s", flush=True)
+
+    results = {"preset": preset, "n": n, "m": m, "k": K, "nnz": int(u.size)}
+    import functools
+    for prec, tag in (("default", "bf16"), ("highest", "f32")):
+        cfg = ModelConfig(n=n, m=m, k=K, variant="hpf",
+                          sweep="segment-chunked", matmul_precision=prec)
+        state = init_state(cfg, seed=1)
+
+        @functools.partial(jax.jit, donate_argnums=(0,),
+                           static_argnames=("cfg",))
+        def step(st, d, cfg=cfg):
+            return cavi_step(st, d, cfg, None, None)
+
+        t0 = time.time()
+        state = step(state, data, cfg=cfg)
+        _ = np.asarray(state.theta.e[0, 0])
+        print(f"{tag} compile+first {time.time() - t0:.1f}s", flush=True)
+        t0 = time.time()
+        iters = 5
+        for _ in range(iters):
+            state = step(state, data, cfg=cfg)
+        _ = np.asarray(state.theta.e[0, 0])
+        ms = (time.time() - t0) / iters * 1e3
+        print(f"{tag}: {ms:.0f} ms/iter", flush=True)
+        results[f"ms_per_iter_{tag}"] = round(ms, 1)
+        assert np.isfinite(float(np.asarray(state.theta.e).sum()))
+
+    out = os.path.join(ROOT, ".bench_cache", f"{preset}_scale.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    json.dump(results, open(out, "w"), indent=1)
+    print(json.dumps(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()
