@@ -74,7 +74,7 @@ def time_tpu(store):
     from hgaprec_tpu.config import ModelConfig
     from hgaprec_tpu.data.device import build_device_data
     from hgaprec_tpu.models.state import init_state
-    from hgaprec_tpu.models.step import make_step
+    from hgaprec_tpu.models.step import make_multi_step, make_step
 
     platform = jax.devices()[0].platform
     log(f"device: {jax.devices()[0]} ({platform})")
@@ -86,6 +86,10 @@ def time_tpu(store):
     data = build_device_data(store, pad_multiple=4096)
     state = init_state(cfg, seed=1)
     step = make_step(cfg)
+    # rfreq iterations per dispatch, exactly as the training engine runs
+    # between two reporting points (models/engine.py::_run_loop)
+    multi = make_multi_step(cfg)
+    chunk = 10
     # warmup/compile. NB: timing fences are host materializations of a
     # value that depends on every prior step — on the tunneled 'axon'
     # platform block_until_ready can return before execution finishes.
@@ -93,15 +97,18 @@ def time_tpu(store):
     state = step(state, data)
     _ = np.asarray(state.theta.e[0, 0])
     log(f"compile+first step: {time.time() - t0:.2f}s")
-    for _ in range(2):
-        state = step(state, data)
+    t0 = time.time()
+    state = multi(state, data, chunk)
+    _ = np.asarray(state.theta.e[0, 0])
+    log(f"compile+first fused chunk: {time.time() - t0:.2f}s")
+    state = multi(state, data, chunk)
     _ = np.asarray(state.theta.e[0, 0])
     t0 = time.time()
-    for _ in range(TPU_TIMED_ITERS):
-        state = step(state, data)
+    for _ in range(TPU_TIMED_ITERS // chunk):
+        state = multi(state, data, chunk)
     _ = np.asarray(state.theta.e[0, 0])
-    dt = (time.time() - t0) / TPU_TIMED_ITERS
-    log(f"tpu: {dt * 1e3:.3f} ms/iter")
+    dt = (time.time() - t0) / (TPU_TIMED_ITERS // chunk * chunk)
+    log(f"tpu: {dt * 1e3:.3f} ms/iter ({chunk} iters/dispatch)")
     return dt, platform
 
 

@@ -442,10 +442,21 @@ def _run_sharded(tr, mcfg, rcfg, ndev):
     tr.eval_mesh = mesh
     run = build_sharded_run(tr.store, mcfg, mesh, seed=rcfg.seed)
     cap = rcfg.max_iterations if mcfg.hier else None
+    rfreq = max(rcfg.rfreq, 1)
     while True:
         if cap is not None and tr.iteration > cap:
             break
-        run.step()
+        # all iterations to the next report boundary in one dispatch
+        # (same fusion as Trainer._run_loop)
+        bound = -(-tr.iteration // rfreq) * rfreq
+        if cap is not None:
+            bound = min(bound, cap)
+        n_steps = bound - tr.iteration + 1
+        if n_steps > 1:
+            run.multi_step(n_steps)
+            tr.iteration = bound
+        else:
+            run.step()
         if tr.iteration % rcfg.rfreq == 0:
             tr.state = run.unsharded_state()
             tr.report()

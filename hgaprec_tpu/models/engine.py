@@ -40,7 +40,7 @@ from hgaprec_tpu.eval.score import pair_loglik, scorer_from_state
 from hgaprec_tpu.io import checkpoint as ckpt
 from hgaprec_tpu.models.elbo import training_elbo
 from hgaprec_tpu.models.state import ModelState, init_state
-from hgaprec_tpu.models.step import make_step
+from hgaprec_tpu.models.step import make_multi_step, make_step
 
 
 def _pairs_arrays(cmap: CountMap):
@@ -66,6 +66,7 @@ class Trainer:
         self.data = device_data if device_data is not None else \
             build_device_data(store)
         self.step = make_step(mcfg)
+        self.multi_step = make_multi_step(mcfg)
         self.state: ModelState = init_state(mcfg, seed=rcfg.seed)
         self.iteration = 0
         self.start_time = time.time()
@@ -287,10 +288,23 @@ class Trainer:
             if self.mcfg.hier or self.rcfg.enforce_max_iterations:
                 cap = self.rcfg.max_iterations
         last_report = (time.time(), 0)
+        rfreq = max(self.rcfg.rfreq, 1)
         while True:
             if cap is not None and self.iteration > cap:
                 break
-            self.state = self.step(self.state, self.data)
+            # Run every iteration up to the next report boundary (the next
+            # multiple of rfreq, reference cadence hgaprec.cc:962) in ONE
+            # device dispatch — the host round trip per iteration is the
+            # reference's loop structure, not part of the algorithm.
+            bound = -(-self.iteration // rfreq) * rfreq
+            if cap is not None:
+                bound = min(bound, cap)
+            n_steps = bound - self.iteration + 1
+            if n_steps > 1:
+                self.state = self.multi_step(self.state, self.data, n_steps)
+                self.iteration = bound
+            else:
+                self.state = self.step(self.state, self.data)
             if self.iteration % self.rcfg.rfreq == 0:
                 now = time.time()
                 t0, it0 = last_report

@@ -101,9 +101,13 @@ def init_state(cfg: ModelConfig, seed: int = 0) -> ModelState:
     tpe = tpel = bpe = bpel = None
     if cfg.hier:
         # before the first update the prior rates in effect are the
-        # initialized scale expectations
-        tpe, tpel = theta_rate.e, theta_rate.elog
-        bpe, bpel = beta_rate.e, beta_rate.elog
+        # initialized scale expectations. Copies, not aliases: a state with
+        # two leaves sharing one buffer cannot be donated to the jitted step
+        # ("attempt to donate the same buffer twice").
+        tpe, tpel = jax.numpy.array(theta_rate.e), jax.numpy.array(
+            theta_rate.elog)
+        bpe, bpel = jax.numpy.array(beta_rate.e), jax.numpy.array(
+            beta_rate.elog)
 
     return ModelState(theta=theta, beta=beta, theta_rate=theta_rate,
                       beta_rate=beta_rate, theta_bias=theta_bias,

@@ -207,3 +207,32 @@ def make_step(cfg: ModelConfig):
     def step(state: ModelState, data: DeviceData) -> ModelState:
         return _jitted_step(state, data, cfg)
     return step
+
+
+def cavi_multi_step(state: ModelState, data: DeviceData, cfg: ModelConfig,
+                    n_steps, axis_name: Optional[str] = None,
+                    row_mask: Optional[jax.Array] = None) -> ModelState:
+    """`n_steps` CAVI iterations inside one traced program.
+
+    The reference re-enters its training loop from the host every
+    iteration (hgaprec.cc:924-977); on TPU that per-dispatch host round
+    trip dominates small/medium problems, so the engine fuses all
+    iterations between two reporting points (rfreq of them) into one
+    `lax.fori_loop` dispatch. `n_steps` may be a traced scalar — one
+    compilation covers every chunk size."""
+    def body(_, s):
+        return cavi_step(s, data, cfg, axis_name, row_mask)
+    return lax.fori_loop(0, n_steps, body, state)
+
+
+@functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+def _jitted_multi_step(state, data, n_steps, cfg):
+    return cavi_multi_step(state, data, cfg, n_steps)
+
+
+def make_multi_step(cfg: ModelConfig):
+    """Return a jitted `multi_step(state, data, n_steps) -> state`."""
+    def multi_step(state: ModelState, data: DeviceData,
+                   n_steps: int) -> ModelState:
+        return _jitted_multi_step(state, data, jnp.int32(n_steps), cfg)
+    return multi_step

@@ -57,7 +57,11 @@ def _kernel(a_ref, b_ref, y_ref, acc_a_ref, acc_b_ref, *, bf16: bool):
     if bf16:
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
-    y = y_ref[:].astype(jnp.float32)
+    y = y_ref[:]
+    if y.dtype == jnp.uint8:
+        # Mosaic has no direct u8->f32 cast; widen through i32 (free on VPU)
+        y = y.astype(jnp.int32)
+    y = y.astype(jnp.float32)
 
     s = jnp.dot(a, b.T, preferred_element_type=jnp.float32)      # [TU, TC]
     w = jnp.where(y > 0, y / jnp.maximum(s, 1e-30), 0.0)

@@ -64,9 +64,17 @@ class ShardedRun:
     row_mask: jax.Array       # f32[n_padded] sharded
     state: ModelState         # theta-side sharded, beta-side replicated
     step_fn: object
+    multi_step_fn: object = None
 
     def step(self):
         self.state = self.step_fn(self.state, self.data, self.row_mask)
+        return self.state
+
+    def multi_step(self, n_steps: int):
+        """n_steps sharded CAVI iterations in one dispatch (fori_loop over
+        the shard_mapped step; trip count is a traced scalar)."""
+        self.state = self.multi_step_fn(self.state, self.data,
+                                        self.row_mask, jnp.int32(n_steps))
         return self.state
 
     def unsharded_state(self) -> ModelState:
@@ -233,19 +241,26 @@ def build_sharded_run(store: RatingsStore, cfg: ModelConfig,
     dspecs = _data_specs(data)
     local_mask_spec = P(AXIS)
 
+    local_fn = jax.shard_map(
+        functools.partial(_local_step, cfg=cfg),
+        mesh=mesh,
+        in_specs=(specs, dspecs, local_mask_spec),
+        out_specs=specs,
+        check_vma=False)
+
     @jax.jit
     def step_fn(state, data, row_mask):
-        fn = jax.shard_map(
-            functools.partial(_local_step, cfg=cfg),
-            mesh=mesh,
-            in_specs=(specs, dspecs, local_mask_spec),
-            out_specs=specs,
-            check_vma=False)
-        return fn(state, data, row_mask)
+        return local_fn(state, data, row_mask)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi_step_fn(state, data, row_mask, n_steps):
+        def body(_, s):
+            return local_fn(s, data, row_mask)
+        return jax.lax.fori_loop(0, n_steps, body, state)
 
     return ShardedRun(mesh=mesh, cfg=pcfg, true_n=n, n_local=n_local,
                       data=data, row_mask=row_mask, state=state,
-                      step_fn=step_fn)
+                      step_fn=step_fn, multi_step_fn=multi_step_fn)
 
 
 def _local_step(state, data, row_mask, *, cfg):
