@@ -40,7 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-TILE_U = 256    # user rows per grid step
+TILE_U = 512    # user rows per grid step (tile probe: best at 512)
 TILE_C = 512    # item cols per grid step
 
 # full item-side accumulator + one B tile must fit beside the working set
@@ -64,9 +64,15 @@ def _kernel(a_ref, b_ref, y_ref, acc_a_ref, acc_b_ref, *, bf16: bool):
     y = y.astype(jnp.float32)
 
     s = jnp.dot(a, b.T, preferred_element_type=jnp.float32)      # [TU, TC]
-    w = jnp.where(y > 0, y / jnp.maximum(s, 1e-30), 0.0)
     if bf16:
+        # serving config: hardware approximate reciprocal (~2^-12 rel
+        # error, far below the bf16 matmul error already accepted); the
+        # exact-divide chain is the kernel's VPU bottleneck, not the MXU.
+        # Padding tiles give s == 0 -> inf, discarded by the select (y=0).
+        w = jnp.where(y > 0, y * pl.reciprocal(s, approx=True), 0.0)
         w = w.astype(jnp.bfloat16)
+    else:
+        w = jnp.where(y > 0, y / jnp.maximum(s, 1e-30), 0.0)
 
     contrib_a = jnp.dot(w, b, preferred_element_type=jnp.float32)
     contrib_b = jnp.dot(w.T, a, preferred_element_type=jnp.float32)
