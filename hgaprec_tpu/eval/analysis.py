@@ -136,3 +136,39 @@ def negative_binomial_fit(counts: np.ndarray,
         return float("inf"), mu  # ~Poisson
     r = mu * mu / (var - mu)
     return float(r), float(mu)
+
+
+def _nb_loglik(counts: np.ndarray, r: float, mu: float) -> float:
+    from scipy.special import gammaln
+    p = r / (r + mu)
+    c = np.asarray(counts, np.float64)
+    return float(np.sum(gammaln(c + r) - gammaln(r) - gammaln(c + 1)
+                        + r * np.log(p) + c * np.log1p(-p)))
+
+
+def marginal_fit_report(counts: np.ndarray) -> Dict[str, float]:
+    """NB vs Gaussian fit comparison for a degree marginal.
+
+    plots/src/marg.R fits both (fitdistr 'negative binomial' / 'normal',
+    marg.R:40-92) and compares them visually; here the comparison is by
+    per-sample log-likelihood and AIC — the paper's point is that NB
+    wins decisively on user-activity/item-popularity marginals."""
+    c = np.asarray(counts, np.float64)
+    n = c.size
+    mean, sd = c.mean(), max(c.std(), 1e-12)
+    ll_gauss = float(-0.5 * n * np.log(2 * np.pi * sd * sd)
+                     - 0.5 * np.sum((c - mean) ** 2) / (sd * sd))
+    r, mu = negative_binomial_fit(c)
+    if np.isfinite(r):
+        ll_nb = _nb_loglik(c, r, mu)
+    else:  # Poisson limit
+        from scipy.special import gammaln
+        ll_nb = float(np.sum(c * np.log(max(mu, 1e-12)) - mu
+                             - gammaln(c + 1)))
+    return {
+        "n": float(n), "nb_r": float(r), "nb_mu": float(mu),
+        "gauss_mean": float(mean), "gauss_sd": float(sd),
+        "loglik_nb": ll_nb, "loglik_gauss": ll_gauss,
+        "aic_nb": 2 * 2 - 2 * ll_nb, "aic_gauss": 2 * 2 - 2 * ll_gauss,
+        "nb_wins": float(ll_nb > ll_gauss),
+    }

@@ -89,8 +89,23 @@ def main():
                      outdir=outdir, rfreq=10, seed=1,
                      max_iterations=max_iters,
                      enforce_max_iterations=True)
-    t0 = time.time()
+    from hgaprec_tpu.models.state import init_state
+
     tr = Trainer(store, validation, test, mcfg, rcfg)
+    # warmup pass: compile the fused chunk + step + every eval kernel on
+    # these shapes, then reset the trajectory and the output files
+    t0 = time.time()
+    tr.run(max_iters=11)
+    compile_s = time.time() - t0
+    tr.close()
+    tr._open_outputs()
+    tr.state = init_state(mcfg, seed=rcfg.seed)
+    tr.iteration = 0
+    tr._prev_h, tr._nh = 0.0, 0
+    tr._stop_requested = tr._on_stop_done = False
+    tr.start_time = time.time()
+
+    t0 = time.time()
     tr.run()
     wall = time.time() - t0
     iters = tr.iteration
@@ -111,6 +126,7 @@ def main():
         "variant": variant, "k": k, "n": N, "m": M,
         "nnz": int(store.coo_y.size),
         "wall_s": round(wall, 1),
+        "compile_s": round(compile_s, 1),
         "iterations": int(iters),
         "s_per_iter_incl_eval": round(wall / max(iters, 1), 4),
         "final_validation_loglik": val_curve[-1][1] if val_curve else None,
