@@ -44,11 +44,22 @@ def sample_users(rng: np.random.Generator, n: int, count: int = 1000
 class EvalIndex:
     """Per-user item arrays for validation masking and test lookups."""
 
-    def __init__(self, validation: CountMap, test: CountMap):
+    def __init__(self, validation: CountMap, test: CountMap,
+                 store: Optional[RatingsStore] = None):
         self.val_by_user: Dict[int, np.ndarray] = _group(validation)
         self.test_by_user: Dict[int, list] = {}
         for (u, m), v in test.items():
             self.test_by_user.setdefault(u, []).append((m, v))
+        # flat sorted (u * M + m) keys for vectorized hit counting
+        self.m = store.m if store is not None else 0
+        if store is not None and test:
+            ks = np.asarray([u * store.m + m for (u, m) in test.keys()],
+                            np.int64)
+            vs = np.asarray(list(test.values()))
+            hit = np.asarray([store.test_hit(int(v)) for v in vs], bool)
+            self.hit_keys = np.sort(ks[hit])
+        else:
+            self.hit_keys = np.zeros(0, np.int64)
 
     def val_items(self, n: int) -> np.ndarray:
         return self.val_by_user.get(n, _EMPTY)
@@ -125,33 +136,38 @@ def compute_precision(sc: Scorer, store: RatingsStore, index: EvalIndex,
     """One precision report; optionally writes ranking.tsv."""
     top_vals, top_idx = top_candidates(sc, store, index, users, topn, mesh)
     topn_eff = top_idx.shape[1]
-    f = open(ranking_path, "w") if ranking_path else None
-    mhits10 = mhits100 = 0.0
-    total_users = 0
-    for r, n in enumerate(users):
-        n = int(n)
-        hits10 = hits100 = 0
-        for j in range(topn_eff):
-            mm = int(top_idx[r, j])
-            v = test.get((n, mm))
-            hit = 0
-            if v is not None:
-                hit = 1 if store.test_hit(v) else 0
-                if j < 10:
-                    hits10 += hit
-                    hits100 += hit
-                elif j < 100:
-                    hits100 += hit
-            if f is not None and store.r(n, mm) == 0:
-                f.write(f"{store.seq2user[n]}\t{store.seq2movie[mm]}\t"
-                        f"{top_vals[r, j]:.5f}\t{hit}\n")
-        mhits10 += hits10 / 10.0
-        mhits100 += hits100 / 100.0
-        total_users += 1
-    if f is not None:
-        f.close()
-    p10 = mhits10 / max(total_users, 1)
-    p100 = mhits100 / max(total_users, 1)
+    # vectorized hit lookup against the sorted (u*M + m) test-hit keys —
+    # same predicate as the reference's per-candidate map lookup +
+    # test_hit threshold (hgaprec.cc:1764-1800)
+    if index.m == store.m:
+        keys = (users.astype(np.int64)[:, None] * store.m
+                + top_idx.astype(np.int64))
+        hk = index.hit_keys
+        if hk.size:
+            pos = np.minimum(np.searchsorted(hk, keys), hk.size - 1)
+            hit_mat = hk[pos] == keys
+        else:
+            hit_mat = np.zeros(keys.shape, bool)
+    else:  # EvalIndex built without a store: per-pair lookups
+        hit_mat = np.zeros((len(users), topn_eff), bool)
+        for r, n in enumerate(users):
+            for j in range(topn_eff):
+                v = test.get((int(n), int(top_idx[r, j])))
+                hit_mat[r, j] = v is not None and store.test_hit(v)
+    total_users = len(users)
+    p10 = float(np.mean(hit_mat[:, :min(10, topn_eff)].sum(axis=1) / 10.0))
+    p100 = float(np.mean(hit_mat[:, :min(100, topn_eff)].sum(axis=1)
+                         / 100.0))
+    if ranking_path:
+        with open(ranking_path, "w") as f:
+            for r, n in enumerate(users):
+                n = int(n)
+                for j in range(topn_eff):
+                    mm = int(top_idx[r, j])
+                    if store.r(n, mm) == 0:
+                        f.write(f"{store.seq2user[n]}\t{store.seq2movie[mm]}"
+                                f"\t{top_vals[r, j]:.5f}\t"
+                                f"{int(hit_mat[r, j])}\n")
     if precision_file is not None:
         precision_file.write(f"{total_users}\t{p10:.5f}\t{p100:.5f}\n")
         precision_file.flush()

@@ -70,7 +70,7 @@ class Trainer:
         self.state: ModelState = init_state(mcfg, seed=rcfg.seed)
         self.iteration = 0
         self.start_time = time.time()
-        self.index = EvalIndex(validation, test)
+        self.index = EvalIndex(validation, test, store)
         self.leave_one_out = leave_one_out_map(test)
         self.val_users_of_movie = validation_users_of_movie(validation)
         self._val_pairs = _pairs_arrays(validation)
@@ -99,6 +99,7 @@ class Trainer:
             self._files[name] = open(os.path.join(self.outdir, name), "w")
 
     def close(self):
+        self._join_save()
         for f in self._files.values():
             f.close()
         self._files = {}
@@ -177,13 +178,39 @@ class Trainer:
         self.gen_ranking_for_users(load=False)
 
     # -- model io ----------------------------------------------------------
+    def _join_save(self):
+        t = getattr(self, "_save_thread", None)
+        if t is not None:
+            t.join()
+            self._save_thread = None
+
     def save_model(self):
-        ckpt.save_model_tsv(self.outdir, self.state, self.mcfg,
-                            self.store.seq2user, self.store.seq2movie)
-        ckpt.save_npz(os.path.join(self.outdir, "model.npz"), self.state,
-                      self.iteration)
+        """Snapshot to host, write files on a background thread.
+
+        The D2H copies happen synchronously — the next fused chunk
+        donates the state buffers, so the writer must not read device
+        arrays later. The file writes (the slow part; the reference
+        blocks its loop on them every rfreq, hgaprec.cc:966) overlap the
+        next training chunk."""
+        import threading
+
+        import jax
+        host_state = jax.tree.map(np.asarray, self.state)
+        iteration = self.iteration
+        self._join_save()
+
+        def write():
+            ckpt.save_model_tsv(self.outdir, host_state, self.mcfg,
+                                self.store.seq2user, self.store.seq2movie)
+            ckpt.save_npz(os.path.join(self.outdir, "model.npz"),
+                          host_state, iteration)
+
+        t = threading.Thread(target=write, daemon=True)
+        self._save_thread = t
+        t.start()
 
     def load_model(self, indir: Optional[str] = None):
+        self._join_save()   # don't read files an in-flight save is writing
         indir = indir or self.outdir
         npz = os.path.join(indir, "model.npz")
         if os.path.exists(npz):
@@ -323,4 +350,5 @@ class Trainer:
         # 1336-1339) and SIGTERM (973-976), not just on convergence
         if not self._on_stop_done:
             self.do_on_stop()
+        self._join_save()   # checkpoint files complete when run() returns
         return self.state
