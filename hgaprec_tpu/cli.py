@@ -208,6 +208,17 @@ def main(argv: Optional[List[str]] = None) -> int:
         except RuntimeError:
             pass  # backend already initialized
 
+    # multi-host pod bootstrap (no-op for single-process runs); when a
+    # multi-process launch is detected, default to sharding over the
+    # whole pod unless -devices narrowed it explicitly
+    from hgaprec_tpu.parallel.distributed import initialize_from_env
+    if initialize_from_env():
+        import jax
+        if o["devices"] <= 1:
+            o["devices"] = len(jax.devices())
+        print(f"+ multi-host: process {jax.process_index()} of "
+              f"{jax.process_count()}, {len(jax.devices())} devices")
+
     from hgaprec_tpu.config import ModelConfig, RunConfig
     from hgaprec_tpu.data.ratings import load_dataset
 
@@ -438,20 +449,20 @@ def _run_sharded(tr, mcfg, rcfg, ndev):
     """Training loop with the user-row sharded step."""
     import jax
     from hgaprec_tpu.parallel.sharded import build_sharded_run, make_mesh
+    if jax.process_count() > 1 and ndev != len(jax.devices()):
+        # a mesh that omits some process's devices would deadlock its
+        # collectives; multi-host runs always span the full pod
+        ndev = len(jax.devices())
     mesh = make_mesh(jax.devices()[:ndev])
     tr.eval_mesh = mesh
     run = build_sharded_run(tr.store, mcfg, mesh, seed=rcfg.seed)
-    cap = rcfg.max_iterations if mcfg.hier else None
-    rfreq = max(rcfg.rfreq, 1)
+    cap = tr.resolve_cap()
     while True:
         if cap is not None and tr.iteration > cap:
             break
         # all iterations to the next report boundary in one dispatch
-        # (same fusion as Trainer._run_loop)
-        bound = -(-tr.iteration // rfreq) * rfreq
-        if cap is not None:
-            bound = min(bound, cap)
-        n_steps = bound - tr.iteration + 1
+        # (same fusion as Trainer._run_loop, via the shared helper)
+        n_steps, bound = tr.next_chunk(cap)
         if n_steps > 1:
             run.multi_step(n_steps)
             tr.iteration = bound

@@ -234,10 +234,18 @@ class RatingsStore:
             self._y.append(1 if self.binary else c)
 
     def finalize(self) -> None:
-        """Freeze training COO in user-major (user, item) sorted order."""
+        """Freeze training COO in user-major (user, item) sorted order.
+
+        Counts saturate at 255: the reference stores ratings as uint8
+        (yval_t, env.hh:20), so counts above 255 are not representable
+        there either — it silently wraps mod 256 (an overflow artifact);
+        we saturate instead, the deliberate deviation. Real datasets
+        (ratings 1-5, click counts) never reach the cap; it only matters
+        for heavy-tailed synthetic counts, and saturation keeps the COO
+        and the uint8 dense sweep path numerically identical."""
         u = np.asarray(self._u, dtype=np.int32)
         i = np.asarray(self._i, dtype=np.int32)
-        y = np.asarray(self._y, dtype=np.int32)
+        y = np.minimum(np.asarray(self._y, dtype=np.int32), 255)
         order = np.lexsort((i, u))
         self.coo_u, self.coo_i, self.coo_y = u[order], i[order], y[order]
         n = max(self.n, 1)

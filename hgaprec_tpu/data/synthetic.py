@@ -31,11 +31,18 @@ def generate_pf_counts(rng: np.random.Generator, n: int, m: int, k: int = 5,
 def write_pf_dataset(outdir: str, rng: np.random.Generator, n: int, m: int,
                      k: int = 5, scale: float = 1.0,
                      test_frac: float = 0.2, valid_frac: float = 0.01,
-                     **kw) -> int:
-    """Write train/validation/test/test_users TSVs; returns nnz."""
+                     clip: int = 255, **kw) -> int:
+    """Write train/validation/test/test_users TSVs; returns nnz.
+
+    Counts are clipped at 255 by default: the reference stores ratings in
+    uint8 (yval_t, env.hh:20) and silently wraps larger values mod 256, so
+    emitting counts a uint8 can hold keeps both stacks reading identical
+    data (real rating datasets never exceed this anyway)."""
     import os
     os.makedirs(outdir, exist_ok=True)
     u, i, y = generate_pf_counts(rng, n, m, k=k, scale=scale, **kw)
+    if clip:
+        y = np.minimum(y, clip)
     r = rng.random(u.size)
     splits = {
         "train.tsv": r >= test_frac + valid_frac,

@@ -32,12 +32,14 @@ def top_items_by_factor(beta_e: np.ndarray, factor: int, topn: int = 20,
 
 
 def active_items_per_factor(beta_e: np.ndarray,
-                            threshold: float = 0.0) -> np.ndarray:
+                            threshold: float = 1e-5) -> np.ndarray:
     """Count of items with weight > threshold per factor — mlens.R skips
-    'unused' factors where <=1 item is active."""
+    'unused' factors where <=1 item is active (as.logical on the loaded
+    beta, mlens.R). The default matches the reference's effective
+    predicate: beta reaches R through a %.5f TSV export, so entries below
+    ~1e-5 print as 0 and count as inactive."""
     b = np.asarray(beta_e)
-    thr = threshold if threshold > 0 else b.mean()
-    return (b > thr).sum(axis=0)
+    return (b > threshold).sum(axis=0)
 
 
 def top_factors_of_user(theta_e: np.ndarray, user: int, topn: int = 3,

@@ -15,9 +15,12 @@ Reproduces the reference's operational envelope:
     3 consecutive decreases (why=1); then do_on_stop(): save model +
     write the full ranking for test_users.tsv if present (hgaprec.cc:
     1572-1577, 2087-2112).
-  * SIGTERM sets a flag polled each iteration -> checkpoint + ranking
-    (main.cc:19-30, hgaprec.cc:973-976); training can also *resume* from
-    the native checkpoint (an improvement; the reference cannot).
+  * SIGTERM sets a flag polled at every report boundary (every rfreq
+    iterations — the iterations in between are fused into one device
+    dispatch, so signal latency is bounded by rfreq, not 1, unlike the
+    reference's per-iteration poll, main.cc:19-30, hgaprec.cc:973-976)
+    -> checkpoint + ranking; training can also *resume* from the native
+    checkpoint (an improvement; the reference cannot).
 """
 
 from __future__ import annotations
@@ -55,13 +58,30 @@ def _pairs_arrays(cmap: CountMap):
 class Trainer:
     def __init__(self, store: RatingsStore, validation: CountMap,
                  test: CountMap, mcfg: ModelConfig, rcfg: RunConfig,
-                 device_data: Optional[DeviceData] = None):
+                 device_data: Optional[DeviceData] = None,
+                 primary: Optional[bool] = None):
         self.store = store
         self.validation = validation
         self.test = test
         self.mcfg = mcfg
         self.rcfg = rcfg
-        self.outdir = rcfg.resolve_outdir(mcfg)
+        # Multi-host: every process runs the same eval/stopping code (the
+        # decisions are deterministic on the gathered state, so processes
+        # stay in lockstep), but only the primary writes the output-file
+        # contract. Non-primary output lands in a scratch subdir.
+        if primary is None:
+            from hgaprec_tpu.parallel.distributed import is_primary
+            try:
+                primary = is_primary()
+            except Exception:
+                primary = True
+        self.primary = primary
+        self.shared_outdir = rcfg.resolve_outdir(mcfg)
+        self.outdir = self.shared_outdir
+        if not primary:
+            import jax
+            self.outdir = os.path.join(self.shared_outdir,
+                                       f".proc{jax.process_index()}")
         os.makedirs(self.outdir, exist_ok=True)
         self.data = device_data if device_data is not None else \
             build_device_data(store)
@@ -87,9 +107,10 @@ class Trainer:
         self.eval_mesh = None
         self._files: Dict[str, object] = {}
         self._open_outputs()
-        self._write_param_txt()
-        if rcfg.write_marginals:
-            store.write_marginal_distributions(self.outdir)
+        if self.primary:
+            self._write_param_txt()
+            if rcfg.write_marginals:
+                store.write_marginal_distributions(self.outdir)
 
     # -- plumbing ----------------------------------------------------------
     def _open_outputs(self):
@@ -195,7 +216,13 @@ class Trainer:
         import threading
 
         import jax
-        host_state = jax.tree.map(np.asarray, self.state)
+        if not self.primary:
+            return  # checkpoint files are written once, by process 0
+        # explicit owning copies: the next fused dispatch donates the state
+        # buffers (donate_argnums), and np.asarray's copy-vs-view behavior
+        # on device arrays is an implementation detail
+        host_state = jax.tree.map(lambda x: np.array(x, copy=True),
+                                  self.state)
         iteration = self.iteration
         self._join_save()
 
@@ -211,7 +238,8 @@ class Trainer:
 
     def load_model(self, indir: Optional[str] = None):
         self._join_save()   # don't read files an in-flight save is writing
-        indir = indir or self.outdir
+        # non-primary processes load the primary's checkpoint (shared FS)
+        indir = indir or self.shared_outdir
         npz = os.path.join(indir, "model.npz")
         if os.path.exists(npz):
             self.state, self.iteration = ckpt.load_npz(npz, self.mcfg)
@@ -283,6 +311,26 @@ class Trainer:
         return s
 
     # -- main loop ---------------------------------------------------------
+    def next_chunk(self, cap: Optional[int]):
+        """(n_steps, bound) to reach the next report boundary in one fused
+        dispatch — the next multiple of rfreq (reference reporting cadence,
+        hgaprec.cc:962), clipped at the iteration cap. Shared by the
+        single-device loop and the sharded driver so the fusion arithmetic
+        cannot drift between them."""
+        rfreq = max(self.rcfg.rfreq, 1)
+        bound = -(-self.iteration // rfreq) * rfreq
+        if cap is not None:
+            bound = min(bound, cap)
+        return bound - self.iteration + 1, bound
+
+    def resolve_cap(self) -> Optional[int]:
+        """Iteration cap: vb_hier honors max_iterations (hgaprec.cc:
+        1336-1339); the other variants run until the stopping rule unless
+        enforce_max_iterations is set."""
+        if self.mcfg.hier or self.rcfg.enforce_max_iterations:
+            return self.rcfg.max_iterations
+        return None
+
     def report(self):
         self.compute_likelihood(True)
         if self._stop_requested:
@@ -310,23 +358,15 @@ class Trainer:
         return self._run_loop(max_iters)
 
     def _run_loop(self, max_iters: Optional[int] = None) -> ModelState:
-        cap = max_iters
-        if cap is None:
-            if self.mcfg.hier or self.rcfg.enforce_max_iterations:
-                cap = self.rcfg.max_iterations
+        cap = max_iters if max_iters is not None else self.resolve_cap()
         last_report = (time.time(), 0)
-        rfreq = max(self.rcfg.rfreq, 1)
         while True:
             if cap is not None and self.iteration > cap:
                 break
-            # Run every iteration up to the next report boundary (the next
-            # multiple of rfreq, reference cadence hgaprec.cc:962) in ONE
+            # Run every iteration up to the next report boundary in ONE
             # device dispatch — the host round trip per iteration is the
             # reference's loop structure, not part of the algorithm.
-            bound = -(-self.iteration // rfreq) * rfreq
-            if cap is not None:
-                bound = min(bound, cap)
-            n_steps = bound - self.iteration + 1
+            n_steps, bound = self.next_chunk(cap)
             if n_steps > 1:
                 self.state = self.multi_step(self.state, self.data, n_steps)
                 self.iteration = bound

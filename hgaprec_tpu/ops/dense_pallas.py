@@ -68,8 +68,12 @@ def _kernel(a_ref, b_ref, y_ref, acc_a_ref, acc_b_ref, *, bf16: bool):
         # serving config: hardware approximate reciprocal (~2^-12 rel
         # error, far below the bf16 matmul error already accepted); the
         # exact-divide chain is the kernel's VPU bottleneck, not the MXU.
-        # Padding tiles give s == 0 -> inf, discarded by the select (y=0).
-        w = jnp.where(y > 0, y * pl.reciprocal(s, approx=True), 0.0)
+        # The clamp guards y>0 cells whose dot product underflows to 0
+        # in bf16 (the f32 path has the same guard); padding tiles (y=0)
+        # are discarded by the select either way.
+        w = jnp.where(y > 0,
+                      y * pl.reciprocal(jnp.maximum(s, 1e-30), approx=True),
+                      0.0)
         w = w.astype(jnp.bfloat16)
     else:
         w = jnp.where(y > 0, y / jnp.maximum(s, 1e-30), 0.0)

@@ -43,16 +43,26 @@ def initialize_from_env(coordinator: Optional[str] = None,
     if process_id is None and env_pid is not None:
         process_id = int(env_pid)
 
-    tpu_pod = bool(os.environ.get("TPU_WORKER_HOSTNAMES") or
-                   os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
-    if coordinator is None and not tpu_pod:
+    if coordinator is not None:
+        import jax
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        return True
+
+    # No explicit coordinator: auto-init only when the environment really
+    # is a multi-worker pod. A single-chip TPU host can still export
+    # TPU_WORKER_HOSTNAMES (one entry) — that is NOT a pod.
+    hosts = [h for h in
+             os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",")
+             if h.strip()]
+    if len(hosts) <= 1 and not os.environ.get(
+            "MEGASCALE_COORDINATOR_ADDRESS"):
         return False  # single process
 
     import jax
-    jax.distributed.initialize(coordinator_address=coordinator,
-                               num_processes=num_processes,
-                               process_id=process_id)
-    return True
+    jax.distributed.initialize()  # Cloud-TPU/SLURM/MPI autodetection
+    return jax.process_count() > 1
 
 
 def is_primary() -> bool:

@@ -115,7 +115,8 @@ def run_ref(cfg):
 
 def run_ours(cfg):
     env = dict(os.environ)
-    env["PYTHONPATH"] = ROOT
+    # append, don't clobber: the TPU plugin registers via PYTHONPATH
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
     cwd = os.path.join(CACHE, "ours", cfg)
     os.makedirs(cwd, exist_ok=True)
     t0 = time.time()
@@ -151,13 +152,12 @@ def _read_tsv(path, ncols):
 def _curves(outdir):
     val = _read_tsv(os.path.join(outdir, "validation.txt"), 4)
     prec = _read_tsv(os.path.join(outdir, "precision.txt"), 3)
-    logl = _read_tsv(os.path.join(outdir, "logl.txt"), 2)
-    maxf = _read_tsv(os.path.join(outdir, "max.txt"), 5)
+    logl = _read_tsv(os.path.join(outdir, "logl.txt"), 1)
+    maxf = _read_tsv(os.path.join(outdir, "max.txt"), 4)
     return {
         "validation": val,            # iter, secs, mean loglik, count
         "precision": prec,            # users, p@10, p@100
-        "logl": [r[1] for r in logl] if logl and len(logl[0]) > 1 else
-                [r[0] for r in logl],
+        "logl": [r[0] for r in logl],  # one ELBO value per line
         "max": maxf[-1] if maxf else None,
     }
 

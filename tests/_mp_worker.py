@@ -1,0 +1,57 @@
+"""Worker for the genuine 2-process multi-host test.
+
+Launched as `python tests/_mp_worker.py <process_id> <port> <outdir>`
+by tests/test_multiprocess.py. Each process sees 4 local CPU devices
+(8 global), initializes jax.distributed over gloo, builds ONLY its
+process-local shards (the per-device construction path in
+parallel/sharded.py), runs 3 sharded CAVI steps, and dumps the gathered
+state for the parent to compare against the single-device run.
+"""
+
+import os
+import sys
+
+
+def main():
+    pid, port, outdir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                               " --xla_force_host_platform_device_count=4")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=2, process_id=pid)
+    assert jax.device_count() == 8, jax.device_count()
+    assert jax.process_count() == 2
+
+    import numpy as np
+    from conftest import make_synthetic
+    from hgaprec_tpu.config import ModelConfig
+    from hgaprec_tpu.parallel.distributed import is_primary
+    from hgaprec_tpu.parallel.sharded import build_sharded_run, make_mesh
+
+    rng = np.random.default_rng(42)
+    store, validation, test = make_synthetic(rng, n=53, m=31, density=0.3)
+    cfg = ModelConfig(n=store.n, m=store.m, k=4, variant="hpf",
+                      sweep="segment")
+
+    run = build_sharded_run(store, cfg, make_mesh(), seed=11,
+                            pad_multiple=128, dense=False)
+    # every user-side data/state leaf must be only partially addressable
+    # here — i.e. this process genuinely built only its own shards
+    assert not run.data.u_ids.is_fully_addressable
+    assert not run.state.theta.e.is_fully_addressable
+    for _ in range(3):
+        run.step()
+    st = run.unsharded_state()
+
+    np.savez(os.path.join(outdir, f"proc{pid}.npz"),
+             theta_e=np.asarray(st.theta.e),
+             beta_e=np.asarray(st.beta.e),
+             xi_e=np.asarray(st.theta_rate.e),
+             primary=np.asarray([1 if is_primary() else 0]))
+    print(f"proc {pid}: OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
