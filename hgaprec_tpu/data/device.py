@@ -52,6 +52,7 @@ class DeviceData:
 
 def build_device_data(store: RatingsStore, *, pad_multiple: int = 1024,
                       dense: bool = True, dense_col_multiple: int = 4096,
+                      dense_row_multiple: int = 512,
                       dense_limit_bytes: int = 10 << 30) -> DeviceData:
     """Build the static-shape device arrays from a finalized host store."""
     u = store.coo_u.astype(np.int32)
@@ -69,10 +70,17 @@ def build_device_data(store: RatingsStore, *, pad_multiple: int = 1024,
 
     dense_y = None
     if dense and n * m <= dense_limit_bytes and n > 0 and m > 0:
-        # columns padded at build time so the sweep can slice in place
-        mp = -(-m // dense_col_multiple) * dense_col_multiple \
-            if n * m > (1 << 28) else m
-        dy = np.zeros((n, mp), np.uint8)
+        # rows AND columns padded at build time so the sweep tiles the
+        # huge uint8 matrix in place: an in-jit pad of Y would copy the
+        # multi-GB array every step, and an odd N (Netflix: 480,189)
+        # would otherwise degenerate the XLA path's user tiling. Rows are
+        # padded whenever N could exceed a user tile (the landmine is
+        # N > user_block with a small power-of-2 divisor, any byte size).
+        big = n * m > (1 << 28)
+        mp = -(-m // dense_col_multiple) * dense_col_multiple if big else m
+        npad = (-(-n // dense_row_multiple) * dense_row_multiple
+                if (big or n > 4096) else n)
+        dy = np.zeros((npad, mp), np.uint8)
         dy[store.coo_u, store.coo_i] = np.minimum(store.coo_y, 255)
         dense_y = jnp.asarray(dy)
 

@@ -176,31 +176,58 @@ def compute_precision(sc: Scorer, store: RatingsStore, index: EvalIndex,
 
 def compute_itemrank(sc: Scorer, store: RatingsStore, index: EvalIndex,
                      users: np.ndarray, outdir: str) -> Dict[str, float]:
-    """itemrank.tsv + meanrank.txt (hgaprec.cc:1607-1701)."""
-    scores = masked_user_scores(sc, store, index, users)
+    """itemrank.tsv + meanrank.txt (hgaprec.cc:1607-1701).
+
+    Small catalogs: host argsort of the [S, M] masked score matrix.
+    Large catalogs (NYT M=107k, EchoNest M=385k): the matrix never
+    materializes — per-(user, test item) ranks come from the streamed
+    device rank counter (eval/topk.py::item_ranks), identical to the
+    stable-argsort position."""
     item_deg = store.item_degrees()
-    sum_rank = sum_rr_ref = sum_rr_true = 0.0
-    total_users = 0
-    with open(os.path.join(outdir, "itemrank.tsv"), "w") as f:
+    # flatten (user-row, item, value) over hit test items
+    pairs_u, pairs_m, rows_of = [], [], {}
+    for n in users:
+        n = int(n)
+        for mm, v in index.test_by_user.get(n, ()):
+            if store.test_hit(v):
+                rows_of.setdefault(n, []).append(len(pairs_u))
+                pairs_u.append(n)
+                pairs_m.append(mm)
+    use_device = store.m > DEVICE_TOPK_THRESHOLD
+    if pairs_u and use_device:
+        from hgaprec_tpu.eval.topk import item_ranks
+        ranks, tscores = item_ranks(sc, store, index,
+                                    np.asarray(pairs_u),
+                                    np.asarray(pairs_m))
+    elif pairs_u:
+        scores = masked_user_scores(sc, store, index, users)
+        row_ix = {int(n): r for r, n in enumerate(users)}
+        ranks = np.zeros(len(pairs_u), np.int64)
+        tscores = np.zeros(len(pairs_u), np.float64)
         for r, n in enumerate(users):
             n = int(n)
-            test_items = index.test_by_user.get(n, ())
-            if not test_items:
+            if n not in rows_of:
                 continue
             order = np.argsort(-scores[r], kind="stable")
             rank_of = np.empty_like(order)
             rank_of[order] = np.arange(order.size)
+            for p in rows_of[n]:
+                ranks[p] = rank_of[pairs_m[p]]
+                tscores[p] = scores[row_ix[n], pairs_m[p]]
+    sum_rank = sum_rr_ref = sum_rr_true = 0.0
+    total_users = 0
+    with open(os.path.join(outdir, "itemrank.tsv"), "w") as f:
+        for n, prows in rows_of.items():
             # items not in training (validation/test count as ranked,
             # hgaprec.cc:1666-1667)
             nranked = store.m - store.items_of_user(n).size
             ntest = 0
             rank_ui = rr_ref = rr_true = 0.0
-            for mm, v in test_items:
-                if not store.test_hit(v):
-                    continue
-                j = int(rank_of[mm])
+            for p in prows:
+                j = int(ranks[p])
+                mm = pairs_m[p]
                 ntest += 1
-                f.write(f"{n}\t{mm}\t{scores[r, mm]:.5f}\t{j}\t"
+                f.write(f"{n}\t{mm}\t{tscores[p]:.5f}\t{j}\t"
                         f"{int(item_deg[mm])}\n")
                 rank_ui += j + 1
                 rr_ref += 1 // (j + 1)        # hgaprec.cc:1683 int division
@@ -219,43 +246,75 @@ def compute_itemrank(sc: Scorer, store: RatingsStore, index: EvalIndex,
             "mrr": sum_rr_true / tu}
 
 
+# above this many score-matrix cells gen_msr_csv switches from host
+# argsort chunks to the streamed device rank counter
+MSR_HOST_CELL_BUDGET = 1 << 28
+
+
 def gen_msr_csv(sc: Scorer, store: RatingsStore,
                 index: EvalIndex, leave_one_out: Dict[int, int],
                 val_users_of_movie: Dict[int, int], outdir: str) -> None:
-    """pred.csv for leave-one-out evaluation (hgaprec.cc:1993-2085)."""
+    """pred.csv for leave-one-out evaluation (hgaprec.cc:1993-2085).
+
+    At reference MSR scale (NYT: N=1.6M, M=107k) the [chunk, M] host
+    matrices are replaced by the streamed device rank counter — one
+    (user, heldout item) rank per user, no per-user argsort."""
     item_deg = store.item_degrees()
+    lusers = np.asarray([n for n in range(store.n) if n in leave_one_out],
+                        np.int64)
+    litems = np.asarray([leave_one_out[int(n)] for n in lusers], np.int64)
+    use_device = store.n * store.m > MSR_HOST_CELL_BUDGET
+
+    def meta_of(n, test_item):
+        train_items = store.items_of_user(n)
+        vitems = np.setdiff1d(index.val_items(n), train_items)
+        training = int(np.sum(train_items < store.m - 1) +
+                       np.sum(vitems < store.m - 1))
+        negatives = (store.m - 1) - training
+        ntrain_users = int(item_deg[test_item]) \
+            if test_item < store.m else 0
+        nvalid = val_users_of_movie.get(test_item, 0)
+        return training, negatives, ntrain_users + nvalid
+
     with open(os.path.join(outdir, "pred.csv"), "w") as f:
         f.write("User\tHeldOutItem\tHeldOutItemIndex\tUserNegatives\t"
                 "UserCount\tItemCount\n")
+        if use_device and lusers.size:
+            from hgaprec_tpu.eval.topk import item_ranks
+            # reference loop scores m in [0, M-1) (hgaprec.cc:2023-2032);
+            # the phantom (item 0, score 0.0) slot sorts after every tie
+            # (stable order), so it advances the rank only when 0 > target
+            ranks, tgt = item_ranks(sc, store, index, lusers, litems,
+                                    limit_m=store.m - 1)
+            ranks = ranks + (tgt < 0.0).astype(np.int32)
+            # heldout item outside the scored range never matches: rank 0
+            ranks = np.where(litems >= store.m - 1, 0, ranks)
+            for n, test_item, rank in zip(lusers, litems, ranks):
+                n, test_item = int(n), int(test_item)
+                training, negatives, icount = meta_of(n, test_item)
+                f.write(f"{store.seq2user[n]}\t{store.seq2movie[test_item]}"
+                        f"\t{int(rank)}\t{negatives}\t{training}\t"
+                        f"{icount}\n")
+            return
         chunk = 1024
-        all_users = np.arange(store.n, dtype=np.int32)
         last_ids = np.concatenate([np.arange(store.m - 1), [0]])
-        for lo in range(0, store.n, chunk):
-            sub = all_users[lo:lo + chunk]
+        for lo in range(0, lusers.size, chunk):
+            sub = lusers[lo:lo + chunk].astype(np.int32)
             scores = masked_user_scores(sc, store, index, sub)
             for r, n in enumerate(sub):
                 n = int(n)
-                if n not in leave_one_out:
-                    continue
                 test_item = leave_one_out[n]
                 # reference loop scores m in [0, M-1): the last item keeps
                 # a default (item 0, score 0.0) slot in the sort
                 sub_scores = np.concatenate([scores[r, :store.m - 1], [0.0]])
-                train_items = store.items_of_user(n)
-                vitems = np.setdiff1d(index.val_items(n), train_items)
-                training = int(np.sum(train_items < store.m - 1) +
-                               np.sum(vitems < store.m - 1))
-                negatives = (store.m - 1) - training
+                training, negatives, icount = meta_of(n, test_item)
                 order = np.argsort(-sub_scores, kind="stable")
                 sorted_ids = last_ids[order]
                 hits = np.nonzero(sorted_ids == test_item)[0]
                 rank = int(hits[0]) if hits.size else 0
-                ntrain_users = int(item_deg[test_item]) \
-                    if test_item < store.m else 0
-                nvalid = val_users_of_movie.get(test_item, 0)
                 f.write(f"{store.seq2user[n]}\t{store.seq2movie[test_item]}\t"
                         f"{rank}\t{negatives}\t{training}\t"
-                        f"{ntrain_users + nvalid}\n")
+                        f"{icount}\n")
 
 
 def compute_rmse(sc: Scorer, test: CountMap,

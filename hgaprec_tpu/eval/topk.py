@@ -93,11 +93,22 @@ def masked_topk(sc: Scorer, store, index, users: np.ndarray, k: int = 100,
     return np.asarray(vals), np.asarray(ids)
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
+@functools.partial(jax.jit, static_argnums=(3, 4))
 def _item_rank_counts(sc: Scorer, users, mask_cols, item_chunk: int,
-                      target_scores):
-    """rank of a target score among masked scores: #items scoring
-    strictly higher (streamed count, no sort)."""
+                      limit_m: int, target_items):
+    """Streamed rank of one target item per row — no [S, M] sort.
+
+    For each row r (a user, possibly repeated across its test items):
+    rank = #{i < limit_m : s_i > s_t} + #{i < limit_m : s_i == s_t,
+    i < target} where s is the masked score vector (train/validation
+    forced to 0.0) and t = target_items[r] — exactly the position a
+    stable descending argsort gives (compute_itemrank host path;
+    reference qsort hgaprec.cc:1666-1683 up to tie order, which qsort
+    leaves unspecified). The target's own score is read from the same
+    streamed matmul, so comparisons are bitwise self-consistent.
+    limit_m < M implements gen_msr_csv's `m < M-1` scoring quirk
+    (hgaprec.cc:2023-2056). Returns (ranks i32[S], target_scores f32[S]).
+    """
     s_count = users.shape[0]
     m = sc.sv.shape[0]
     su = sc.su[users]
@@ -108,9 +119,9 @@ def _item_rank_counts(sc: Scorer, users, mask_cols, item_chunk: int,
     sv_pad = jnp.pad(sc.sv, ((0, nchunks * item_chunk - m), (0, 0)))
     bi_pad = (jnp.pad(sc.bias_i, (0, nchunks * item_chunk - m))
               if bu is not None else None)
+    row1 = jnp.arange(s_count, dtype=jnp.int32)
 
-    def body(acc, c):
-        c0 = c * item_chunk
+    def scores_of(c0):
         sv_blk = jax.lax.dynamic_slice_in_dim(sv_pad, c0, item_chunk,
                                               axis=0)
         scores = jnp.dot(su, sv_blk.T, preferred_element_type=jnp.float32,
@@ -120,15 +131,63 @@ def _item_rank_counts(sc: Scorer, users, mask_cols, item_chunk: int,
                                                   axis=0)
             scores = scores + bu[:, None] + bi_blk[None, :]
         scores = scores + sc.global_off
-        col_ids = c0 + jnp.arange(item_chunk, dtype=jnp.int32)
-        scores = jnp.where(col_ids[None, :] < m, scores, -jnp.inf)
         local = mask_cols - c0
         local = jnp.where((local >= 0) & (local < item_chunk), local,
                           item_chunk + 7)
-        scores = scores.at[rows, local].set(0.0, mode="drop")
-        acc = acc + jnp.sum(scores > target_scores[:, None], axis=1)
-        return acc, None
+        return scores.at[rows, local].set(0.0, mode="drop")
 
-    acc, _ = jax.lax.scan(body, jnp.zeros((s_count,), jnp.int32),
+    # pass 1: capture each row's target score from the streamed matmul
+    def tgt_body(acc, c):
+        c0 = c * item_chunk
+        scores = scores_of(c0)
+        lt = target_items - c0
+        inside = (lt >= 0) & (lt < item_chunk)
+        got = scores[row1, jnp.clip(lt, 0, item_chunk - 1)]
+        return jnp.where(inside, got, acc), None
+
+    tgt, _ = jax.lax.scan(tgt_body, jnp.zeros((s_count,), jnp.float32),
                           jnp.arange(nchunks, dtype=jnp.int32))
-    return acc
+
+    # pass 2: count strictly-greater + ties at smaller item id
+    def cnt_body(acc, c):
+        c0 = c * item_chunk
+        scores = scores_of(c0)
+        col_ids = c0 + jnp.arange(item_chunk, dtype=jnp.int32)
+        live = col_ids[None, :] < limit_m
+        gt = live & (scores > tgt[:, None])
+        tie = live & (scores == tgt[:, None]) & \
+            (col_ids[None, :] < target_items[:, None])
+        return acc + jnp.sum(gt, axis=1, dtype=jnp.int32) \
+            + jnp.sum(tie, axis=1, dtype=jnp.int32), None
+
+    acc, _ = jax.lax.scan(cnt_body, jnp.zeros((s_count,), jnp.int32),
+                          jnp.arange(nchunks, dtype=jnp.int32))
+    return acc, tgt
+
+
+def item_ranks(sc: Scorer, store, index, users: np.ndarray,
+               items: np.ndarray, limit_m: int = 0,
+               item_chunk: int = 16384, pair_chunk: int = 4096):
+    """Host wrapper: masked rank of items[j] for users[j] (paired arrays).
+
+    Streams item chunks on device; the [S, M] score matrix never exists.
+    Returns (ranks i32[S], target_scores f32[S])."""
+    limit_m = limit_m or store.m
+    ranks = np.zeros(len(users), np.int32)
+    tgts = np.zeros(len(users), np.float32)
+    for lo in range(0, len(users), pair_chunk):
+        uu = np.asarray(users[lo:lo + pair_chunk], np.int32)
+        ii = np.asarray(items[lo:lo + pair_chunk], np.int32)
+        masks = [np.union1d(store.items_of_user(int(n)),
+                            index.val_items(int(n))).astype(np.int64)
+                 for n in uu]
+        d = max(max((mk.size for mk in masks), default=1), 1)
+        mask_cols = np.full((len(uu), d), -(10 ** 9), np.int32)
+        for r, mk in enumerate(masks):
+            mask_cols[r, :mk.size] = mk
+        rk, tg = _item_rank_counts(
+            sc, jnp.asarray(uu), jnp.asarray(mask_cols),
+            min(item_chunk, max(store.m, 128)), limit_m, jnp.asarray(ii))
+        ranks[lo:lo + len(uu)] = np.asarray(rk)
+        tgts[lo:lo + len(uu)] = np.asarray(tg)
+    return ranks, tgts

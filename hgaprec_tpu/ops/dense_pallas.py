@@ -47,16 +47,21 @@ TILE_C = 512    # item cols per grid step
 VMEM_ACC_BUDGET = 10 << 20
 
 
-def _kernel(a_ref, b_ref, y_ref, acc_a_ref, acc_b_ref, *, bf16: bool):
+def _kernel(*refs, bf16: bool, bias: bool):
+    if bias:
+        (a_ref, b_ref, ba_ref, bb_ref, y_ref,
+         acc_a_ref, acc_b_ref, acc_ba_ref, acc_bb_ref) = refs
+    else:
+        a_ref, b_ref, y_ref, acc_a_ref, acc_b_ref = refs
     u = pl.program_id(0)
     c = pl.program_id(1)
     tc = b_ref.shape[0]
 
+    # a/b arrive already in the matmul dtype (bf16 serving casts happen
+    # once per iteration in XLA, not per tile on the VPU — and halve the
+    # HBM traffic of the per-user-tile B re-reads)
     a = a_ref[:]
     b = b_ref[:]
-    if bf16:
-        a = a.astype(jnp.bfloat16)
-        b = b.astype(jnp.bfloat16)
     y = y_ref[:]
     if y.dtype == jnp.uint8:
         # Mosaic has no direct u8->f32 cast; widen through i32 (free on VPU)
@@ -64,19 +69,25 @@ def _kernel(a_ref, b_ref, y_ref, acc_a_ref, acc_b_ref, *, bf16: bool):
     y = y.astype(jnp.float32)
 
     s = jnp.dot(a, b.T, preferred_element_type=jnp.float32)      # [TU, TC]
+    if bias:
+        # bias variants: score = A@B^T + E[bias_u] + E[bias_i]
+        # (prediction_score, hgaprec.cc:1850-1891); ba tile [TU,1]
+        # broadcasts over columns, bb tile [1,TC] over rows
+        s = s + ba_ref[:] + bb_ref[:]
+    # Select-free weight: after the clamp the reciprocal is finite, so
+    # y == 0 cells (including every padding row/column) give w == 0
+    # exactly — no compare/select pass over the [TU, TC] tile. The clamp
+    # also guards y>0 cells whose dot product underflows to 0.
+    sc = jnp.maximum(s, 1e-30)
     if bf16:
         # serving config: hardware approximate reciprocal (~2^-12 rel
         # error, far below the bf16 matmul error already accepted); the
         # exact-divide chain is the kernel's VPU bottleneck, not the MXU.
-        # The clamp guards y>0 cells whose dot product underflows to 0
-        # in bf16 (the f32 path has the same guard); padding tiles (y=0)
-        # are discarded by the select either way.
-        w = jnp.where(y > 0,
-                      y * pl.reciprocal(jnp.maximum(s, 1e-30), approx=True),
-                      0.0)
-        w = w.astype(jnp.bfloat16)
+        w32 = y * pl.reciprocal(sc, approx=True)
+        w = w32.astype(jnp.bfloat16)
     else:
-        w = jnp.where(y > 0, y / jnp.maximum(s, 1e-30), 0.0)
+        w32 = y / sc
+        w = w32
 
     contrib_a = jnp.dot(w, b, preferred_element_type=jnp.float32)
     contrib_b = jnp.dot(w.T, a, preferred_element_type=jnp.float32)
@@ -98,6 +109,27 @@ def _kernel(a_ref, b_ref, y_ref, acc_a_ref, acc_b_ref, *, bf16: bool):
         acc_b_ref[pl.ds(c * tc, tc), :] = (
             acc_b_ref[pl.ds(c * tc, tc), :] + contrib_b)
 
+    if bias:
+        contrib_ba = jnp.sum(w32, axis=1, keepdims=True)      # [TU, 1]
+        contrib_bb = jnp.sum(w32, axis=0)                     # [TC]
+
+        @pl.when(c == 0)
+        def _():
+            acc_ba_ref[:] = contrib_ba
+
+        @pl.when(c != 0)
+        def _():
+            acc_ba_ref[:] = acc_ba_ref[:] + contrib_ba
+
+        @pl.when(u == 0)
+        def _():
+            acc_bb_ref[0, pl.ds(c * tc, tc)] = contrib_bb
+
+        @pl.when(u != 0)
+        def _():
+            acc_bb_ref[0, pl.ds(c * tc, tc)] = (
+                acc_bb_ref[0, pl.ds(c * tc, tc)] + contrib_bb)
+
 
 def _pad_axis(x: jax.Array, mult: int, axis: int) -> jax.Array:
     size = x.shape[axis]
@@ -112,19 +144,30 @@ def _pad_axis(x: jax.Array, mult: int, axis: int) -> jax.Array:
 @functools.partial(jax.jit, static_argnames=("bf16", "tile_u", "tile_c",
                                              "interpret"))
 def fused_dense_sweep(a_lin: jax.Array, b_lin: jax.Array,
-                      dense_y: jax.Array, *, bf16: bool = False,
+                      dense_y: jax.Array, ba_lin=None, bb_lin=None,
+                      *, bf16: bool = False,
                       tile_u: int = TILE_U, tile_c: int = TILE_C,
-                      interpret: bool = False
-                      ) -> Tuple[jax.Array, jax.Array]:
-    """(W @ B, W^T @ A) with W = Y/(A B^T) computed fully on-chip.
+                      interpret: bool = False) -> Tuple[jax.Array, ...]:
+    """(W @ B, W^T @ A[, rowsum W, colsum W]) with W = Y/(A B^T [+ biases])
+    computed fully on-chip.
 
     a_lin: f32[N, K] linear-space user factors (exp of Elog);
-    b_lin: f32[M, K]; dense_y: u8/f32[N, >=M] counts. Caller applies the
-    final elementwise scaling by a_lin/b_lin.
+    b_lin: f32[M, K]; dense_y: u8/f32[>=N, >=M] counts (rows/cols may be
+    zero-padded at build time — see data/device.py); ba_lin/bb_lin:
+    optional f32[N]/f32[M] linear-space bias expectations (the K+1/K+2
+    phi slots, hgaprec.cc:223-239). Caller applies the final elementwise
+    scaling by a_lin/b_lin (and ba/bb). Returns 2 or 4 accumulators.
     """
     n, k = a_lin.shape
     m = b_lin.shape[0]
+    bias = ba_lin is not None
     kp = -(-k // LANE) * LANE
+    if bf16:
+        # cast once here (XLA, fused with the upstream exp) rather than
+        # per tile in the kernel; bf16 B also halves the dominant B
+        # re-read HBM traffic (B streams through VMEM once per user tile)
+        a_lin = a_lin.astype(jnp.bfloat16)
+        b_lin = b_lin.astype(jnp.bfloat16)
     a = _pad_axis(_pad_axis(a_lin, kp, 1), tile_u, 0)
     b = _pad_axis(_pad_axis(b_lin, kp, 1), tile_c, 0)
     if dense_y.shape[1] > b.shape[0]:
@@ -134,37 +177,71 @@ def fused_dense_sweep(a_lin: jax.Array, b_lin: jax.Array,
         # meet only zero counts (w == 0) and contribute nothing
         b = _pad_axis(b, -(-dense_y.shape[1] // tile_c) * tile_c, 0)
     np_, mp = a.shape[0], b.shape[0]
+    if dense_y.shape[0] > np_:
+        # Y rows pre-padded past N at build time: pad A up to match
+        a = _pad_axis(a, -(-dense_y.shape[0] // tile_u) * tile_u, 0)
+        np_ = a.shape[0]
     y = _pad_axis(_pad_axis(dense_y, mp, 1), tile_u, 0)
 
     grid = (np_ // tile_u, mp // tile_c)
-    acc_a, acc_b = pl.pallas_call(
-        functools.partial(_kernel, bf16=bf16),
+    in_specs = [
+        pl.BlockSpec((tile_u, kp), lambda u, c: (u, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_c, kp), lambda u, c: (c, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((np_, kp), jnp.float32),
+        jax.ShapeDtypeStruct((mp, kp), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((tile_u, kp), lambda u, c: (u, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((mp, kp), lambda u, c: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [a, b]
+    if bias:
+        ba = _pad_axis(ba_lin.reshape(-1, 1), tile_u, 0)       # [np_, 1]
+        bb = _pad_axis(bb_lin.reshape(1, -1), mp, 1)           # [1, mp]
+        operands += [ba, bb]
+        in_specs += [
+            pl.BlockSpec((tile_u, 1), lambda u, c: (u, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_c), lambda u, c: (0, c),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((np_, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, mp), jnp.float32),
+        ]
+        out_specs += [
+            pl.BlockSpec((tile_u, 1), lambda u, c: (u, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp), lambda u, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    operands.append(y)
+    in_specs.append(pl.BlockSpec((tile_u, tile_c), lambda u, c: (u, c),
+                                 memory_space=pltpu.VMEM))
+
+    outs = pl.pallas_call(
+        functools.partial(_kernel, bf16=bf16, bias=bias),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile_u, kp), lambda u, c: (u, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_c, kp), lambda u, c: (c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_u, tile_c), lambda u, c: (u, c),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((np_, kp), jnp.float32),
-            jax.ShapeDtypeStruct((mp, kp), jnp.float32),
-        ],
-        out_specs=[
-            pl.BlockSpec((tile_u, kp), lambda u, c: (u, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((mp, kp), lambda u, c: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
+        out_shape=out_shape,
+        out_specs=out_specs,
         cost_estimate=pl.CostEstimate(
             flops=6 * np_ * mp * kp,
             bytes_accessed=np_ * mp + (np_ + 2 * mp) * kp * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(a, b, y)
+    )(*operands)
+    if bias:
+        acc_a, acc_b, acc_ba, acc_bb = outs
+        return (acc_a[:n, :k], acc_b[:m, :k], acc_ba[:n, 0], acc_bb[0, :m])
+    acc_a, acc_b = outs
     return acc_a[:n, :k], acc_b[:m, :k]
 
 

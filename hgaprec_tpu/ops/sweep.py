@@ -50,9 +50,11 @@ def _pad_rows(x: jax.Array, rows: int) -> jax.Array:
 def _user_block_of(rows: int, user_block: int) -> int:
     """Largest power-of-2 divisor of `rows`, capped at user_block.
 
-    Row counts are padded to a power-of-2 multiple at build time, so this
-    always yields a usable tile height; a non-divisible user_block would
-    otherwise force a full copy of the uint8 Y every step."""
+    build_device_data pads dense_y rows to a multiple of 512 at build
+    time, so on the fast path this yields a tile height >= 512. If the
+    divisor degenerates anyway (caller passed unpadded rows, e.g. odd N),
+    sweep_dense pads Y/factors in-jit to a 256-multiple first — a per-step
+    copy of Y, correct but slow, hence the build-time padding."""
     if rows <= user_block:
         return rows
     ub = rows & (-rows)  # largest power-of-2 divisor
@@ -75,9 +77,9 @@ def sweep_dense(elog_a: jax.Array, elog_b: jax.Array,
     single-level [N, item_block] f32 tile would exceed HBM)."""
     prec = None if precision == "default" else jax.lax.Precision.HIGHEST
     n = elog_a.shape[0]
-    if dense_y.shape[0] != n:
-        raise ValueError(f"dense_y rows {dense_y.shape[0]} != factor rows "
-                         f"{n}; pad the factor tables (row_mask) instead")
+    if dense_y.shape[0] < n:
+        raise ValueError(f"dense_y rows {dense_y.shape[0]} < factor rows "
+                         f"{n}")
     m = elog_b.shape[0]
     k = elog_a.shape[1]
     dtype = elog_a.dtype
@@ -86,6 +88,20 @@ def sweep_dense(elog_a: jax.Array, elog_b: jax.Array,
     bias = elog_bias_a is not None
     ba = jnp.exp(elog_bias_a) if bias else None   # [N]
     bb = jnp.exp(elog_bias_b) if bias else None   # [M]
+
+    # dense_y rows may exceed n (row-padded at build time so user tiling
+    # never degenerates); the extra rows are all-zero counts. Pad the
+    # factor side to match — an O(N*K) f32 copy, negligible next to the
+    # tile matmuls. If the row count STILL has no usable tile divisor
+    # (unpadded odd N), pad Y itself in-jit as a correct slow path.
+    n_store = dense_y.shape[0]
+    if _user_block_of(n_store, user_block) < min(user_block, 256):
+        n_store = -(-n_store // 256) * 256
+        dense_y = _pad_rows(dense_y, n_store)
+    if n_store != n:
+        a = _pad_rows(a, n_store)
+        if bias:
+            ba = jnp.pad(ba, (0, n_store - n))
 
     # m_store: the dense matrix may be column-padded at build time so the
     # huge [N, M] array is sliced in place per block (no device-side copy
@@ -98,11 +114,11 @@ def sweep_dense(elog_a: jax.Array, elog_b: jax.Array,
     b_pad = _pad_rows(b, mp)
     bb_pad = (_pad_rows(bb, mp) if bias else jnp.zeros((mp,), dtype))
 
-    ub = _user_block_of(n, user_block)
-    nu = n // ub
+    ub = _user_block_of(n_store, user_block)
+    nu = n_store // ub
     y_r = dense_y.reshape(nu, ub, mp)
     a_r = a.reshape(nu, ub, k)
-    ba_r = (ba if bias else jnp.zeros((n,), dtype)).reshape(nu, ub)
+    ba_r = (ba if bias else jnp.zeros((n_store,), dtype)).reshape(nu, ub)
 
     def inner(carry, c, *, a_u, ba_u, y_u):
         acc_a_c, acc_ba_c = carry
@@ -142,10 +158,10 @@ def sweep_dense(elog_a: jax.Array, elog_b: jax.Array,
     (acc_b_raw, acc_bb_raw), (acc_a_blocks, acc_ba_blocks) = jax.lax.scan(
         outer, init, (a_r, ba_r, y_r))
 
-    acc_a = a * acc_a_blocks.reshape(n, k)
+    acc_a = (a * acc_a_blocks.reshape(n_store, k))[:n]
     acc_b = b * acc_b_raw[:m]
     if bias:
-        acc_ba = ba * acc_ba_blocks.reshape(n)
+        acc_ba = (ba * acc_ba_blocks.reshape(n_store))[:n]
         acc_bb = bb * acc_bb_raw[:m]
         return SweepResult(acc_a, acc_b, acc_ba, acc_bb)
     return SweepResult(acc_a, acc_b, None, None)
@@ -266,15 +282,21 @@ def sweep(elog_a, elog_b, elog_bias_a, elog_bias_b, data: DeviceData,
         from hgaprec_tpu.ops.dense_pallas import (fused_dense_sweep,
                                                   pallas_dense_ok)
         m, k = elog_b.shape
+        bias = elog_bias_a is not None
         on_tpu = jax.default_backend() == "tpu"
-        use_pallas = (elog_bias_a is None and pallas_dense_ok(m, k) and
+        use_pallas = (pallas_dense_ok(m, k) and
                       (mode == "dense-pallas" or on_tpu))
         if use_pallas:
             a_lin, b_lin = jnp.exp(elog_a), jnp.exp(elog_b)
-            raw_a, raw_b = fused_dense_sweep(
-                a_lin, b_lin, data.dense_y, bf16=(precision == "default"),
-                interpret=not on_tpu)
-            return SweepResult(a_lin * raw_a, b_lin * raw_b, None, None)
+            ba_lin = jnp.exp(elog_bias_a) if bias else None
+            bb_lin = jnp.exp(elog_bias_b) if bias else None
+            raw = fused_dense_sweep(
+                a_lin, b_lin, data.dense_y, ba_lin, bb_lin,
+                bf16=(precision == "default"), interpret=not on_tpu)
+            if bias:
+                return SweepResult(a_lin * raw[0], b_lin * raw[1],
+                                   ba_lin * raw[2], bb_lin * raw[3])
+            return SweepResult(a_lin * raw[0], b_lin * raw[1], None, None)
         return sweep_dense(elog_a, elog_b, elog_bias_a, elog_bias_b,
                            data.dense_y, item_block=item_block,
                            user_block=user_block, precision=precision)

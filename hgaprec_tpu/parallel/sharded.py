@@ -278,13 +278,19 @@ def build_sharded_run(store: RatingsStore, cfg: ModelConfig,
     ndev = mesh.devices.size
     n = store.n
     n_padded = -(-n // ndev) * ndev
-    n_local = n_padded // ndev
     # NB: the step math must see the TRUE n (e.g. the bias rate constant is
     # 0.3 + n, hgaprec.cc:1265-1270); padding is purely an array-shape
     # concern handled by row_mask.
     pcfg = dataclasses.replace(cfg, n=n_padded)
     if dense is None:
         dense = pcfg.resolve_sweep() == "dense"
+    if dense and n_padded // ndev > 4096:
+        # per-shard dense rows must tile cleanly (see data/device.py on
+        # the odd-N landmine); round the local row count to a 512 multiple
+        n_local = -(-(n_padded // ndev) // 512) * 512
+        n_padded = n_local * ndev
+        pcfg = dataclasses.replace(cfg, n=n_padded)
+    n_local = n_padded // ndev
 
     data = build_sharded_data(store, n_padded, mesh,
                               pad_multiple=pad_multiple, dense=dense)

@@ -107,9 +107,13 @@ def main():
     results = {"n": N, "m": M, "k": K, "nnz": int(nnz)}
     import functools
     from hgaprec_tpu.models.step import cavi_step
-    for prec, tag in (("default", "bf16"), ("highest", "f32")):
+    for prec, bias, tag in (("default", False, "bf16"),
+                            ("highest", False, "f32"),
+                            ("default", True, "bf16_bias"),
+                            ("highest", True, "f32_bias")):
         cfg = ModelConfig(n=n_pad, m=M, k=K, variant="hpf", sweep="dense",
-                          matmul_precision=prec, item_block=ITEM_BLOCK)
+                          bias=bias, matmul_precision=prec,
+                          item_block=ITEM_BLOCK)
         state = init_state(cfg, seed=1)
 
         # NB: data/row_mask must be real arguments — a closed-over 10 GB
