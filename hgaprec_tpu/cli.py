@@ -46,7 +46,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         "mle_item": False, "canny": False, "gen_ranking": False,
         "rmse": False, "vb": True, "msr": False, "nmf": False,
         "nmfload": False, "vwload": False, "lda": False, "vwlda": False,
+        "test_items": None,
         "write_training": False, "chi": False, "chinmf": False,
+        "chisgd": False, "chipmf": False,
         "als": False, "wals": False, "wals_l": 0.1, "wals_C": 10,
         "climf": False, "ctr": False, "rating_threshold": 1,
         "dataset": "movielens", "strid": False,
@@ -107,6 +109,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             o["load_loc"] = nexta()
         elif arg == "-test":
             o["test"] = True
+        elif arg == "-test-items":
+            # extension: cold-start seed items as external ids "a,b,..."
+            # (reference hard-codes 118,12263 — hgaprec.cc:2262-2264)
+            o["test_items"] = [int(v) for v in nexta().split(",") if v]
         elif arg == "-batch":
             o["batch"] = True
         elif arg == "-online":
@@ -170,6 +176,13 @@ def main(argv: Optional[List[str]] = None) -> int:
             o["wals_C"] = int(nexta())
         elif arg == "-climf":
             o["climf"] = True
+        elif arg == "-chisgd":
+            # graphchi biasSGD bridge (run_chi_sgd, hgaprec.cc:589-605 —
+            # present in the reference but unreachable from its main())
+            o["chisgd"] = True
+        elif arg == "-chipmf":
+            # graphchi PMF bridge (run_chi_pmf, hgaprec.cc:607-624)
+            o["chipmf"] = True
         elif arg == "-ctr":
             o["ctr"] = True
         elif arg == "-rating-threshold":
@@ -246,11 +259,16 @@ def main(argv: Optional[List[str]] = None) -> int:
         binary=o["binary"], vb=o["vb"], a=o["a"], b=o["b"], c=o["c"],
         d=o["d"], sweep=o["sweep"], item_block=o["item_block"],
         matmul_precision=o["precision"])
+    chi_tool = ("nmf" if o["chinmf"] else "als" if o["als"] else
+                "wals" if o["wals"] else "climf" if o["climf"] else "")
     rcfg = RunConfig(
         datdir=o["dir"], outdir=o["outdir"], label=o["label"],
         rfreq=o["rfreq"], max_iterations=o["max_iterations"],
         seed=int(o["seed"]), rating_threshold=o["rating_threshold"],
-        logl=o["logl"], batch=o["batch"], trace_dir=o["trace"])
+        logl=o["logl"], batch=o["batch"], trace_dir=o["trace"],
+        nmf=o["nmf"] or o["nmfload"], lda=o["lda"], vwlda=o["vwlda"],
+        chi=o["chi"], ctr=o["ctr"], write_training=o["write_training"],
+        chi_tool=chi_tool, wals_l=o["wals_l"], wals_C=o["wals_C"])
 
     from hgaprec_tpu.models.engine import Trainer
     tr = Trainer(store, validation, test, mcfg, rcfg)
@@ -280,16 +298,24 @@ def _gen_heldout(o) -> int:
         u, i, y = readers.read_netflix_dir(d, max_movies=o["m"] or None)
     elif ds == "mendeley":
         u, i, y = readers.read_mendeley(os.path.join(d, "users.dat"))
-    elif ds == "echonest":
-        u, i, y, _ = readers.read_triplets(
+    str2id = None
+    if ds == "echonest":
+        u, i, y, str2id = readers.read_triplets(
             os.path.join(d, "train_triplets.txt"))
     elif ds == "nyt":
-        u, i, y, _ = readers.read_triplets(
+        u, i, y, str2id = readers.read_triplets(
             os.path.join(d, "nyt-clicks.tsv"))
-    else:
+    elif ds not in ("movielens", "netflix", "mendeley"):
         print(f"unknown dataset {ds}")
         return 1
     out = o["outdir"] or d
+    if str2id is not None:
+        # persist the minted string->id map (ratings.cc:450-456; the
+        # reference filters to long keys — user hashes — we keep all)
+        os.makedirs(out, exist_ok=True)
+        with open(os.path.join(out, "str2id.tsv"), "w") as f:
+            for s, sid in str2id.items():
+                f.write(f"{s}\t{sid}\n")
     counts = readers.create_train_test_sets(
         u, i, y, out, leave_one_out=o["msr"], seed=int(o["seed"]))
     print(f"+ wrote splits to {out}: {counts}")
@@ -326,7 +352,9 @@ def _dispatch(o, store, validation, test, mcfg, rcfg, tr) -> int:
                                           wals=o["wals"],
                                           wals_c=o["wals_C"])
         tool = ("nmf" if o["chinmf"] else "als" if o["als"] else
-                "wals" if o["wals"] else "climf" if o["climf"] else None)
+                "wals" if o["wals"] else "climf" if o["climf"] else
+                "biassgd" if o["chisgd"] else "pmf" if o["chipmf"] else
+                None)
         if tool:
             root = os.environ.get("GRAPHCHI_ROOT", "")
             cmd = formats.chi_command(tool, tr.outdir, mcfg.k,
@@ -347,13 +375,49 @@ def _dispatch(o, store, validation, test, mcfg, rcfg, tr) -> int:
         return 0
 
     if o["test"]:
-        from hgaprec_tpu.models.coldstart import fold_in_users, top_items
+        # cold-start demo (hgaprec.cc:2257-2346): map the seed items'
+        # external ids, load the model, fold in a fresh user over 10 CAVI
+        # iterations, print the top-21 titles. Default seed pair = the
+        # reference's hard-coded Netflix ids 118/12263 (:2262-2264);
+        # -test-items overrides. NB the reference does NOT exclude the
+        # seed items from the printed ranking (the skip loop at
+        # :2327-2330 is a no-op) — reproduced.
+        from hgaprec_tpu.data import readers
+        from hgaprec_tpu.models.coldstart import fold_in_users
+        ext_items = o["test_items"] or [118, 12263]
+        seq_items = []
+        for e in ext_items:
+            s = store.movie2seq.get(e)
+            if s is None:
+                print(f"error: seed item {e} not in the training set")
+                return 1
+            seq_items.append(int(s))
+        meta = {}
+        for fname, rdr in (("movie_titles.txt",
+                            readers.read_netflix_metadata),
+                           ("movies.dat", readers.read_movielens_metadata)):
+            for base in (o["dir"], "."):
+                p = os.path.join(base, fname)
+                if os.path.exists(p):
+                    meta = rdr(p)
+                    break
+            if meta:
+                break
+
+        def title(seq: int) -> str:
+            ext = store.seq2movie.get(seq, seq)
+            t = meta.get(ext)
+            return f"{t[0]}, {t[1]}" if t else str(ext)
+
+        for s in seq_items:
+            print(title(s))
         tr.load_model(o["load_loc"] if o["load"] else None)
-        seeds = [[0, min(1, store.m - 1)]]
-        _, scores = fold_in_users(tr.state, mcfg, seeds)
-        for rank_list in top_items(scores, seeds):
-            for mm in rank_list:
-                print(store.seq2movie.get(mm, mm))
+        print("loading model state complete")
+        _, scores = fold_in_users(tr.state, mcfg, [seq_items])
+        print("predictions")
+        order = np.argsort(-scores[0], kind="stable")[:21]
+        for mm in order:
+            print(title(int(mm)))
         return 0
 
     if o["msr"]:
@@ -371,6 +435,20 @@ def _dispatch(o, store, validation, test, mcfg, rcfg, tr) -> int:
         elif o["vwlda"]:
             formats.write_vwlda_training_matrix(
                 store, os.path.join(tr.outdir, "ldatrain.tsv"))
+        return 0
+
+    if o["nmfload"]:
+        # load_nmf_beta_and_theta (main.cc:298-302 -> hgaprec.cc:833-862):
+        # import libNMF's theta.tsv/beta.tsv from the output dir, re-save
+        # as nmf_{theta,beta}.tsv, rank for test_users
+        from hgaprec_tpu.io.checkpoint import _save_mat
+        theta, beta = formats.nmf_load_factors(
+            store.n, store.m, mcfg.k,
+            os.path.join(tr.outdir, "theta.tsv"),
+            os.path.join(tr.outdir, "beta.tsv"))
+        _save_mat(os.path.join(tr.outdir, "nmf_theta.tsv"), theta, {})
+        _save_mat(os.path.join(tr.outdir, "nmf_beta.tsv"), beta, {})
+        rank_foreign(theta, beta)
         return 0
 
     if o["nmf"]:
@@ -413,8 +491,20 @@ def _dispatch(o, store, validation, test, mcfg, rcfg, tr) -> int:
         return 0
 
     if o["ctr"]:
+        # hgaprec.cc:418-476: place CTR rows through the id maps, write
+        # the map CSVs and re-saved factors, then rank natively
+        from hgaprec_tpu.io.checkpoint import _save_mat
         theta, beta, umap, imap = formats.load_ctr_factors(
             store.n, store.m, mcfg.k)
+        theta, beta = formats.apply_ctr_maps(
+            theta, beta, umap, imap, store.seq2user, store.seq2movie,
+            store.n, store.m)
+        formats.write_ctr_map_csvs(tr.outdir, umap, imap, store.seq2user,
+                                   store.seq2movie, store.n, store.m)
+        _save_mat(os.path.join(tr.outdir, "ctr_theta.tsv"), theta,
+                  store.seq2user)
+        _save_mat(os.path.join(tr.outdir, "ctr_beta.tsv"), beta,
+                  store.seq2movie)
         rank_foreign(theta, beta)
         return 0
 

@@ -113,6 +113,17 @@ class RunConfig:
     # only wall-clock seconds in validation.txt): when set, training runs
     # under jax.profiler.trace(trace_dir) for TensorBoard/xprof.
     trace_dir: Optional[str] = None
+    # bridge-mode flags — only used for output-dir naming parity
+    # (env.hh:326-369); the actual dispatch lives in the CLI
+    nmf: bool = False                 # -nmf or -nmfload
+    lda: bool = False
+    vwlda: bool = False
+    chi: bool = False
+    ctr: bool = False
+    write_training: bool = False
+    chi_tool: str = ""                # "nmf" | "als" | "wals" | "climf"
+    wals_l: float = 0.1
+    wals_C: int = 10
 
     def derive_outdir(self, mc: ModelConfig) -> str:
         """Reference output-dir naming (env.hh:283-369) for supported flags."""
@@ -136,8 +147,30 @@ class RunConfig:
             parts.append("hier")
         if mc.vb:
             parts.append("vb")
+        # bridge suffixes in reference order (env.hh:326-369)
+        if self.nmf:
+            parts.append("nmf")
+        if self.lda:
+            parts.append("lda")
+        if self.vwlda:
+            parts.append("vwlda")
+        if self.chi:
+            parts.append("chi")
+        if self.ctr:
+            parts.append("ctr")
         if self.seed:
             parts.append(f"seed{self.seed:g}")
+        if self.write_training:
+            parts.append("write-training")
+        if self.chi:
+            if self.chi_tool == "nmf":
+                parts.append("nmf")
+            elif self.chi_tool == "als":
+                parts.append("als")
+            elif self.chi_tool == "wals":
+                parts.append(f"wals-wl-{self.wals_l:g}-wC-{self.wals_C}")
+            elif self.chi_tool == "climf":
+                parts.append("climf")
         if mc.variant == VARIANT_MLE_USER:
             parts.append("mle-user")
         elif mc.variant == VARIANT_MLE_ITEM:

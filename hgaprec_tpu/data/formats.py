@@ -213,16 +213,116 @@ def load_ctr_factors(n: int, m: int, k: int, directory: str = "."
             read_map(os.path.join(directory, "item_map.dat")))
 
 
+def nmf_load_factors(n: int, m: int, k: int, theta_path: str = "theta.tsv",
+                     beta_path: str = "beta.tsv"
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """libNMF output importer (-nmfload; hgaprec.cc:833-862).
+
+    nmf_load semantics (matrix.hh:1370-1423): two header lines skipped,
+    then whitespace-separated doubles. theta.tsv fills [n, k] row-major;
+    beta.tsv is read 'transposed'. NB: the reference's transpose branch
+    indexes md[token][line] against a [m, k] matrix with a tokens==k
+    assert — contradictory bounds that only work by accident of heap
+    layout; we implement the evident intent, auto-detecting whether the
+    beta file is [m, k] or [k, m] and returning [m, k]."""
+    theta = load_dense_table(theta_path, n, k, skiprows=2)
+    rows = []
+    with open(beta_path) as f:
+        for li, line in enumerate(f):
+            if li < 2:
+                continue
+            nums = [float(t) for t in line.split()]
+            if nums:
+                rows.append(nums)
+    beta = np.zeros((m, k))
+    if rows:
+        width = max(len(r) for r in rows)
+        arr = np.zeros((len(rows), width))
+        for i, r in enumerate(rows):
+            arr[i, :len(r)] = r
+        if arr.shape[0] == k and width != k:
+            arr = arr.T           # [k, m] layout -> [m, k]
+        beta[:min(m, arr.shape[0]), :min(k, arr.shape[1])] = \
+            arr[:m, :k]
+    return theta, beta
+
+
+def apply_ctr_maps(theta: np.ndarray, beta: np.ndarray,
+                   umap: Dict[int, int], imap: Dict[int, int],
+                   seq2user: Dict[int, int], seq2movie: Dict[int, int],
+                   n: int, m: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Reorder CTR factor rows into internal seq order.
+
+    The reference scores seq id n through CTR's own row index:
+    ctr_theta[user_map[seq2user[n]]] (prediction_score_ctr,
+    hgaprec.cc:1893-1926; maps loaded at 418-445). Rows for ids missing
+    from the maps score zero (the reference asserts; here a zero row —
+    'asking score for nonexistent user' also returns 0 there)."""
+    k = theta.shape[1]
+    t = np.zeros((n, k))
+    b = np.zeros((m, k))
+    for seq in range(n):
+        idx = umap.get(seq2user.get(seq))
+        if idx is not None and 0 <= idx < theta.shape[0]:
+            t[seq] = theta[idx]
+    for seq in range(m):
+        idx = imap.get(seq2movie.get(seq))
+        if idx is not None and 0 <= idx < beta.shape[0]:
+            b[seq] = beta[idx]
+    return t, b
+
+
+def write_ctr_map_csvs(outdir: str, umap: Dict[int, int],
+                       imap: Dict[int, int], seq2user: Dict[int, int],
+                       seq2movie: Dict[int, int], n: int, m: int) -> None:
+    """user-map.csv / item-map.csv: 'ext,ctr_idx' per seq row
+    (hgaprec.cc:456-470)."""
+    with open(os.path.join(outdir, "user-map.csv"), "w") as f:
+        for seq in range(n):
+            ext = seq2user[seq]
+            f.write(f"{ext},{umap.get(ext, 0)}\n")
+    with open(os.path.join(outdir, "item-map.csv"), "w") as f:
+        for seq in range(m):
+            ext = seq2movie[seq]
+            f.write(f"{ext},{imap.get(ext, 0)}\n")
+
+
 # external tool command lines (reference shells out via system();
-# run_chi_* hgaprec.cc:533-643, run_vwlda 646-669). Roots configurable.
+# run_chi_* hgaprec.cc:533-643, run_vwlda 646-669). Roots configurable;
+# per-tool arguments reproduce the reference's hard-coded invocations
+# (als 533-549, wals 551-568, climf 570-587, biassgd 589-605,
+# pmf 607-624, nmf 626-643). biassgd/pmf are defined in the reference
+# but unreachable from main.cc — exposed here via -chisgd / -chipmf.
+CHI_TOOL_ARGS = {
+    "als": "--lambda=0.01 --minval=1 --maxval=5 --max_iter=100",
+    "wals": ("--lambda=0.01 --implicitratingtype=1 "
+             "--implicitratingweight=1 --implicitratingpercentage=1 "
+             "--minval=0 --maxval=1 --max_iter=100"),
+    "climf": ("--binary_relevance_thresh=4 --sgd_gamma=1e-6 "
+              "--max_iter=500 --sgd_step_dec=0.9999 --sgd_lambda=1e-6"),
+    "biassgd": ("--biassgd_lambda=1e-3 --biassgd_gamma=1e-3 "
+                "--minval=1 --maxval=5 --max_iter=100"),
+    "pmf": ("--minval=1 --maxval=5 --max_iter=100 --pmf_burn_in=5 "
+            "--allow_zeros=1 --matrixmarket=true "
+            "--pmf_additional_output=1"),
+    "nmf": "--minval=1 --maxval=5 --max_iter=500",
+}
+
+# tools trained on the full matrix, without a --validation file
+CHI_NO_VALIDATION = {"nmf", "pmf"}
+
+
 def chi_command(tool: str, outdir: str, k: int, *, graphchi_root: str,
                 extra: str = "") -> str:
-    train = os.path.join(outdir, "chitrain.tsv")
+    base = "chifull.tsv" if tool == "nmf" else "chitrain.tsv"
+    train = os.path.join(outdir, base)
     valid = os.path.join(outdir, "chivalidation.tsv")
+    varg = "" if tool in CHI_NO_VALIDATION else f"--validation={valid} "
+    targ = CHI_TOOL_ARGS.get(tool, "--max_iter=100")
     return (f"cd {outdir}; GRAPHCHI_ROOT={graphchi_root} "
             f"{graphchi_root}/toolkits/collaborative_filtering/{tool} "
-            f"--training={train} --validation={valid} "
-            f"--max_iter=100 --quiet=1 --D={k} {extra}")
+            f"--training={train} {varg}"
+            f"{targ} --quiet=1 --D={k} {extra}").rstrip()
 
 
 def vwlda_command(outdir: str, k: int, n: int, m: int, *,

@@ -127,3 +127,91 @@ def test_coldstart_prefers_seed_neighbors(rng):
     theta_e, scores = fold_in_users(state, cfg, [[0, 1], [2]])
     assert theta_e.shape == (2, 3)
     assert np.isfinite(scores).all() and (scores >= 0).all()
+
+
+def test_cli_nmfload(dataset, tmp_path):
+    """-nmfload imports libNMF theta/beta from the output dir, re-saves,
+    and ranks (main.cc:298-302 -> hgaprec.cc:833-862)."""
+    out = tmp_path / "out_nmfload"
+    out.mkdir()
+    rng2 = np.random.default_rng(9)
+    th = rng2.random((50, 3))
+    be = rng2.random((3, 30))   # [k, m] orientation
+    (out / "theta.tsv").write_text(
+        "h\nh\n" + "\n".join(" ".join(f"{v:.6f}" for v in r) for r in th))
+    (out / "beta.tsv").write_text(
+        "h\nh\n" + "\n".join(" ".join(f"{v:.6f}" for v in r) for r in be))
+    rc = cli.main(["-dir", str(dataset), "-n", "50", "-m", "30", "-k", "3",
+                   "-outdir", str(out), "-nmfload"])
+    assert rc == 0
+    assert (out / "nmf_theta.tsv").exists()
+    assert (out / "ranking.tsv").exists()
+
+
+def test_cli_ctr_maps(dataset, tmp_path, monkeypatch):
+    """-ctr applies the id maps and writes the map CSVs
+    (hgaprec.cc:418-476)."""
+    out = tmp_path / "out_ctr"
+    out.mkdir()
+    monkeypatch.chdir(tmp_path)
+    rng2 = np.random.default_rng(3)
+    np.savetxt("final-U.dat", rng2.random((50, 3)))
+    np.savetxt("final-V.dat", rng2.random((30, 3)))
+    # identity ext->row maps over the dataset's external ids (1-based)
+    with open("user_map.dat", "w") as f:
+        for e in range(1, 51):
+            f.write(f"{e},{e - 1}\n")
+    with open("item_map.dat", "w") as f:
+        for e in range(1, 31):
+            f.write(f"{e},{e - 1}\n")
+    rc = cli.main(["-dir", str(dataset), "-n", "50", "-m", "30", "-k", "3",
+                   "-outdir", str(out), "-ctr"])
+    assert rc == 0
+    assert (out / "user-map.csv").exists()
+    assert (out / "ctr_theta.tsv").exists()
+    assert (out / "ranking.tsv").exists()
+
+
+def test_cli_chi_tool_commands(dataset, tmp_path, capsys):
+    """-chisgd / -chipmf print the graphchi command lines."""
+    for flag, frag in (("-chisgd", "biassgd"), ("-chipmf", "pmf")):
+        out = str(tmp_path / f"out{flag}")
+        rc = cli.main(["-dir", str(dataset), "-n", "50", "-m", "30",
+                       "-k", "3", "-outdir", out, "-chi", flag])
+        assert rc == 0
+        assert frag in capsys.readouterr().out
+
+
+def test_cli_coldstart_titles(dataset, tmp_path, capsys):
+    """-test folds in a fresh user from seed items and prints titles."""
+    out = str(tmp_path / "outcs")
+    rc = cli.main(["-dir", str(dataset), "-n", "50", "-m", "30", "-k", "3",
+                   "-rfreq", "4", "-max-iterations", "8", "-outdir", out])
+    assert rc == 0
+    capsys.readouterr()
+    # metadata file with movielens layout, external ids are 1-based
+    meta = tmp_path / "movies.dat"
+    meta.write_text("".join(f"{e}::Title {e}::Genre\n"
+                            for e in range(1, 31)))
+    rc = cli.main(["-dir", str(tmp_path), "-n", "50", "-m", "30", "-k", "3",
+                   "-outdir", out, "-test", "-test-items", "1,2",
+                   "-load", out])
+    assert rc == 0
+    outtext = capsys.readouterr().out
+    assert "Title 1, Genre" in outtext
+    assert "predictions" in outtext
+    # top-21 lines follow the predictions header
+    tail = outtext.split("predictions\n", 1)[1].strip().splitlines()
+    assert len(tail) == min(21, 30)
+
+
+def test_outdir_bridge_suffixes(dataset, tmp_path):
+    """Output-dir naming includes bridge-mode suffixes (env.hh:326-369)."""
+    from hgaprec_tpu.config import ModelConfig, RunConfig
+    mc = ModelConfig(n=5, m=4, k=2)
+    rc = RunConfig(datdir=".", label="x", chi=True, chi_tool="wals",
+                   wals_l=0.1, wals_C=10)
+    assert rc.derive_outdir(mc) == \
+        "n5-m4-k2-x-batch-vb-chi-wals-wl-0.1-wC-10"
+    rc2 = RunConfig(datdir=".", label="x", nmf=True, write_training=True)
+    assert rc2.derive_outdir(mc) == "n5-m4-k2-x-batch-vb-nmf-write-training"

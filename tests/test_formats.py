@@ -78,3 +78,57 @@ def test_nmf_training_matrix(tmp_path, rng):
     assert int(lines[1]) == store.m
     row0 = [int(v) for v in lines[2].split()]
     assert len(row0) == store.m
+
+
+def test_nmf_load_factors(tmp_path):
+    """-nmfload importer: 2 header lines, theta [n,k] direct, beta
+    auto-oriented (matrix.hh:1370-1423 intent)."""
+    (tmp_path / "theta.tsv").write_text(
+        "h1\nh2\n1 2\n3 4\n5 6\n")                       # n=3, k=2
+    (tmp_path / "beta.tsv").write_text(
+        "h1\nh2\n10 20 30 40\n50 60 70 80\n")            # [k=2, m=4]
+    theta, beta = formats.nmf_load_factors(
+        3, 4, 2, str(tmp_path / "theta.tsv"), str(tmp_path / "beta.tsv"))
+    np.testing.assert_allclose(theta, [[1, 2], [3, 4], [5, 6]])
+    np.testing.assert_allclose(beta, [[10, 50], [20, 60], [30, 70],
+                                      [40, 80]])
+    # [m, k] orientation also accepted
+    (tmp_path / "beta2.tsv").write_text(
+        "h1\nh2\n10 50\n20 60\n30 70\n40 80\n")
+    _, beta2 = formats.nmf_load_factors(
+        3, 4, 2, str(tmp_path / "theta.tsv"), str(tmp_path / "beta2.tsv"))
+    np.testing.assert_allclose(beta2, beta)
+
+
+def test_apply_ctr_maps():
+    """CTR rows placed through the id maps (hgaprec.cc:1893-1926)."""
+    theta = np.asarray([[1.0, 1], [2, 2]])
+    beta = np.asarray([[3.0, 3], [4, 4], [5, 5]])
+    seq2user = {0: 100, 1: 101}
+    seq2movie = {0: 200, 1: 201, 2: 202}
+    umap = {100: 1, 101: 0}          # ext -> ctr row
+    imap = {200: 2, 201: 0, 202: 1}
+    t, b = formats.apply_ctr_maps(theta, beta, umap, imap,
+                                  seq2user, seq2movie, 2, 3)
+    np.testing.assert_allclose(t, [[2, 2], [1, 1]])
+    np.testing.assert_allclose(b, [[5, 5], [3, 3], [4, 4]])
+
+
+def test_chi_command_tools(tmp_path):
+    """Per-tool argument parity with run_chi_* (hgaprec.cc:533-643)."""
+    for tool, frag in (("als", "--lambda=0.01"),
+                       ("wals", "--implicitratingtype=1"),
+                       ("climf", "--sgd_step_dec=0.9999"),
+                       ("biassgd", "--biassgd_gamma=1e-3"),
+                       ("pmf", "--pmf_burn_in=5"),
+                       ("nmf", "--max_iter=500")):
+        cmd = formats.chi_command(tool, str(tmp_path), 7,
+                                  graphchi_root="/gc")
+        assert frag in cmd, (tool, cmd)
+        assert "--D=7" in cmd
+        if tool in ("nmf",):
+            assert "chifull.tsv" in cmd and "--validation" not in cmd
+        elif tool in ("pmf",):
+            assert "--validation" not in cmd
+        else:
+            assert "chivalidation.tsv" in cmd
