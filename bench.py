@@ -133,6 +133,30 @@ def time_reference(store):
     return float(out.split()[1])
 
 
+def netflix_numbers(platform):
+    """Netflix-preset (480189 x 17770, K=100) ms/iter via the scale
+    harness; cached per process lifetime in .bench_cache. TPU only —
+    the CPU interpreter path would take hours."""
+    if platform != "tpu":
+        return {}
+    out = os.path.join(CACHE, "netflix_scale.json")
+    try:
+        subprocess.check_call(
+            [sys.executable,
+             os.path.join(ROOT, "scripts", "netflix_scale_check.py"),
+             "bf16,bf16_bias"],
+            stdout=sys.stderr, stderr=sys.stderr, timeout=1500)
+        z = json.load(open(out))
+        return {
+            "netflix_hpf_ms_per_iter_bf16": z.get("ms_per_iter_bf16"),
+            "netflix_hpf_ms_per_iter_bf16_bias":
+                z.get("ms_per_iter_bf16_bias"),
+        }
+    except Exception as e:
+        log(f"netflix preset failed: {e}")
+        return {}
+
+
 def main():
     u, i, y = get_dataset()
     log(f"dataset: {N}x{M}, nnz={u.size}")
@@ -149,6 +173,7 @@ def main():
         "unit": "iter/s",
         "vs_baseline": round(t_ref / t_tpu, 2) if t_ref else None,
     }
+    result.update(netflix_numbers(platform))
     print(json.dumps(result))
 
 

@@ -248,6 +248,13 @@ class Trainer:
 
     # -- eval wrappers -----------------------------------------------------
     def compute_precision(self, save_ranking: bool):
+        """One precision report (hgaprec.cc:1703-1848).
+
+        User selection parity: on saving reports (every 100 iters) the
+        reference REUSES `_sampled_users` from the previous non-saving
+        report (hgaprec.cc:1715-1721 only resamples when
+        !save_ranking_file); test_users.tsv enters only through
+        gen_ranking_for_users. Reproduced exactly here."""
         if self.iteration % 100 == 0 and self.iteration > 0:
             save_ranking = True
         if not save_ranking:

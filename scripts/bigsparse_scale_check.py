@@ -103,6 +103,40 @@ def main():
         results[f"ms_per_iter_{tag}"] = round(ms, 1)
         assert np.isfinite(float(np.asarray(state.theta.e).sum()))
 
+    # streamed ranking-eval timing (VERDICT r1 #5): rank 1000 heldout
+    # (user, item) pairs among all M items with the device rank counter
+    # — the [S, M] host matrix never exists at these shapes
+    from hgaprec_tpu.eval.score import scorer_from_state
+    from hgaprec_tpu.eval.topk import item_ranks
+
+    row_ptr = np.concatenate(
+        [[0], np.cumsum(np.bincount(u, minlength=n))]).astype(np.int64)
+
+    class _StoreShim:
+        def __init__(self):
+            self.m = m
+            self.n = n
+
+        def items_of_user(self, nn):
+            s, e = row_ptr[nn], row_ptr[nn + 1]
+            return i[s:e].astype(np.int64)
+
+    class _IndexShim:
+        @staticmethod
+        def val_items(nn):
+            return np.zeros(0, np.int64)
+
+    rng = np.random.default_rng(3)
+    pairs_u = rng.integers(0, n, 1000)
+    pairs_i = rng.integers(0, m, 1000)
+    sc = scorer_from_state(state, cfg)
+    t0 = time.time()
+    ranks, _ = item_ranks(sc, _StoreShim(), _IndexShim(), pairs_u, pairs_i)
+    dt = time.time() - t0
+    print(f"itemrank eval (1000 pairs x {m} items): {dt:.1f}s", flush=True)
+    results["itemrank_1000pairs_s"] = round(dt, 2)
+    assert int(ranks.min()) >= 0 and int(ranks.max()) < m
+
     out = os.path.join(ROOT, ".bench_cache", f"{preset}_scale.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     json.dump(results, open(out, "w"), indent=1)

@@ -107,10 +107,13 @@ def main():
     results = {"n": N, "m": M, "k": K, "nnz": int(nnz)}
     import functools
     from hgaprec_tpu.models.step import cavi_step
+    only = sys.argv[1].split(",") if len(sys.argv) > 1 else None
     for prec, bias, tag in (("default", False, "bf16"),
                             ("highest", False, "f32"),
                             ("default", True, "bf16_bias"),
                             ("highest", True, "f32_bias")):
+        if only and tag not in only:
+            continue
         cfg = ModelConfig(n=n_pad, m=M, k=K, variant="hpf", sweep="dense",
                           bias=bias, matmul_precision=prec,
                           item_block=ITEM_BLOCK)

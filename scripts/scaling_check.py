@@ -80,6 +80,7 @@ def main():
 
     ref_sum = None
     results = []
+    records = []
     for nd in sizes:
         print(f"# building {nd}-device run", file=sys.stderr, flush=True)
         mesh = make_mesh(devices[:nd])
@@ -105,11 +106,28 @@ def main():
         results.append((nd, dt))
         base = results[0][1]
         eff = base / (dt * nd)
-        print(json.dumps({
+        rec = {
             "devices": nd, "ms_per_iter": round(dt * 1e3, 3),
             "nnz_per_sec": round(store.coo_y.size / dt),
             "scaling_efficiency": round(eff, 3),
-            "parity": "ok"}), flush=True)
+            "parity": "ok"}
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    out = os.path.join(ROOT, ".bench_cache", "scaling.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    json.dump({
+        "platform": devices[0].platform,
+        "device_kind": devices[0].device_kind,
+        "note": ("virtual CPU devices share the host's physical cores, "
+                 "so efficiency there is a lower bound; the artifact's "
+                 "point on CPU is the parity assertion + collective "
+                 "layout" if not on_tpu else
+                 "real multi-chip ICI scaling"),
+        "n": n, "m": m, "k": k, "nnz": int(store.coo_y.size),
+        "results": records,
+    }, open(out, "w"), indent=1)
+    print(f"# wrote {out}", file=sys.stderr)
 
 
 if __name__ == "__main__":
