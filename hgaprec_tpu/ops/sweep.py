@@ -211,12 +211,26 @@ def sweep_segment_chunked(elog_a: jax.Array, elog_b: jax.Array,
                           elog_bias_b: Optional[jax.Array],
                           data: DeviceData,
                           chunk: int = SEGMENT_CHUNK) -> SweepResult:
-    """Segment sweep streamed over nonzero chunks.
+    """One-pass linear-space segment sweep streamed over nonzero chunks.
 
-    Identical math to sweep_segment, but the [P, K] phi tensor only ever
-    exists [chunk, K] at a time; each chunk's contributions land in the
-    full-size accumulators via segment_sum (chunks of a sorted id array
-    are themselves sorted)."""
+    Same accumulators as sweep_segment; the [P, K] phi tensor only ever
+    exists [chunk, K] at a time. Two measured design decisions
+    (scripts/gather_probe.py; this path is gather-LATENCY-bound at
+    ~6 ns/row regardless of row width, so what matters is the count of
+    row operations per nonzero, not bytes):
+
+      * linear space: phi ∝ A[u] ⊙ B[i] with s = <A[u], B[i]> — the
+        dense path's identity — instead of log-softmax; drops the
+        logsumexp/exp chain (EchoNest: 6.2 s -> 2.6 s per sweep).
+      * one pass over the user-sorted stream: acc_a via sorted
+        segment_sum, acc_b via unsorted scatter-add — instead of
+        re-gathering and recomputing phi from the item-sorted stream
+        (4 gathers + 2 segsums -> 2 gathers + 1 segsum + 1 scatter).
+
+    vs the reference per-nonzero log-space loop (hgaprec.cc:928-941):
+    values are identical up to f32 rounding; the 1e-30 clamp mirrors
+    gpbase.hh make_nonzero. Zero-count padding rows contribute nothing
+    (phi = 0)."""
     n, k = elog_a.shape
     m = elog_b.shape[0]
     bias = elog_bias_a is not None
@@ -228,46 +242,43 @@ def sweep_segment_chunked(elog_a: jax.Array, elog_b: jax.Array,
         return (x if x.shape[0] == pp else
                 jnp.pad(x, (0, pp - x.shape[0]), constant_values=fill))
 
-    # user-ordered stream
+    # user-ordered stream only
     u_ids = padi(data.u_ids, n - 1).reshape(nc, chunk)
     i_ids = padi(data.i_ids, m - 1).reshape(nc, chunk)
     y_u = padi(data.y, 0.0).reshape(nc, chunk)
-    # item-ordered stream
-    i_s = padi(data.i_ids_sorted, m - 1).reshape(nc, chunk)
-    u_s = padi(data.u_ids_by_item, n - 1).reshape(nc, chunk)
-    y_s = padi(data.y[data.item_order], 0.0).reshape(nc, chunk)
 
-    def phis_of(uu, ii, yy):
-        logits = elog_a[uu] + elog_b[ii]
-        if bias:
-            logits = jnp.concatenate(
-                [logits, elog_bias_a[uu][:, None],
-                 elog_bias_b[ii][:, None]], axis=1)
-        lse = jax.scipy.special.logsumexp(logits, axis=1, keepdims=True)
-        return yy[:, None] * jnp.exp(logits - lse)
+    a_lin = jnp.exp(elog_a)
+    b_lin = jnp.exp(elog_b)
+    ba_lin = jnp.exp(elog_bias_a) if bias else None
+    bb_lin = jnp.exp(elog_bias_b) if bias else None
 
     def body(carry, xs):
         acc_a, acc_b, acc_ba, acc_bb = carry
-        uu, ii, yy, iis, uus, yys = xs
-        ph_u = phis_of(uu, ii, yy)
-        acc_a = acc_a + jax.ops.segment_sum(ph_u[:, :k], uu, num_segments=n,
+        uu, ii, yy = xs
+        av = a_lin[uu]                                   # [C, K]
+        bv = b_lin[ii]
+        prod = av * bv
+        s = jnp.sum(prod, axis=1)
+        if bias:
+            bau = ba_lin[uu]
+            bbi = bb_lin[ii]
+            s = s + bau + bbi
+        w = yy / jnp.maximum(s, 1e-30)                   # [C]
+        ph = w[:, None] * prod
+        acc_a = acc_a + jax.ops.segment_sum(ph, uu, num_segments=n,
                                             indices_are_sorted=True)
-        ph_i = phis_of(uus, iis, yys)
-        acc_b = acc_b + jax.ops.segment_sum(ph_i[:, :k], iis, num_segments=m,
-                                            indices_are_sorted=True)
+        acc_b = acc_b.at[ii].add(ph)
         if bias:
             acc_ba = acc_ba + jax.ops.segment_sum(
-                ph_u[:, k], uu, num_segments=n, indices_are_sorted=True)
-            acc_bb = acc_bb + jax.ops.segment_sum(
-                ph_i[:, k + 1], iis, num_segments=m,
-                indices_are_sorted=True)
+                w * bau, uu, num_segments=n, indices_are_sorted=True)
+            acc_bb = acc_bb.at[ii].add(w * bbi)
         return (acc_a, acc_b, acc_ba, acc_bb), None
 
     dt = elog_a.dtype
     init = (jnp.zeros((n, k), dt), jnp.zeros((m, k), dt),
             jnp.zeros((n,), dt), jnp.zeros((m,), dt))
     (acc_a, acc_b, acc_ba, acc_bb), _ = jax.lax.scan(
-        body, init, (u_ids, i_ids, y_u, i_s, u_s, y_s))
+        body, init, (u_ids, i_ids, y_u))
     if bias:
         return SweepResult(acc_a, acc_b, acc_ba, acc_bb)
     return SweepResult(acc_a, acc_b, None, None)
