@@ -9,7 +9,8 @@ work unchanged:
               [-mle-user|-mle-item|-canny] [-novb] [-label L]
               [-rating-threshold T] [-logl] [-gen-ranking] [-msr] [-rmse]
               [-write-training] [-lda|-vwlda|-nmf|-nmfload|-vwload]
-              [-chi [-als|-wals|-chinmf|-climf]] [-ctr]
+              [-chi [-als|-wals|-chinmf|-climf|-chisgd|-chipmf]] [-ctr]
+              [-test [-test-items a,b,...]]
 
 TPU-native extensions: -sweep dense|segment|segment-chunked|auto,
 -devices D (shard over a D-chip mesh),
@@ -83,6 +84,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         elif arg == "-rfreq":
             o["rfreq"] = int(nexta())
         elif arg == "-strid":
+            # parity: the reference also only parses this — Env::strid is
+            # stored (env.hh:95, :245) and never read by any code path
             o["strid"] = True
         elif arg == "-p":
             o["p"] = True

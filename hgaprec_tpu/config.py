@@ -23,6 +23,7 @@ SWEEP_DENSE = "dense"      # blocked dense matmuls on the MXU (SDDMM/SpMM densif
 SWEEP_SEGMENT = "segment"  # gather + log-softmax + segment_sum (correctness baseline)
 SWEEP_SEGMENT_CHUNKED = "segment-chunked"  # segment path streamed over nnz chunks
 SWEEP_DENSE_PALLAS = "dense-pallas"  # fused VMEM-resident kernel (ops/dense_pallas.py)
+SWEEP_HYBRID = "hybrid"    # dense head (top-degree items) + segment tail
 SWEEP_AUTO = "auto"
 
 VARIANT_BPF = "bpf"            # vb()        hgaprec.cc:919-980

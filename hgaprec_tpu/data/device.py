@@ -44,6 +44,15 @@ class DeviceData:
     # reference's yval_t (env.hh:20) so Netflix-scale Y fits in HBM —
     # converted to f32 tile-by-tile inside the sweep
     dense_y: Optional[jax.Array]  # u8[N, M] or None
+    # hybrid head/tail split for power-law catalogs too wide to densify
+    # (ops/sweep.py::sweep_hybrid): head = top-degree items as a dense
+    # uint8 block whose column j is item head_items[j]; tail = the
+    # remaining nonzeros as user-sorted COO
+    head_items: Optional[jax.Array] = None     # i32[T]
+    head_dense_y: Optional[jax.Array] = None   # u8[>=N, T]
+    u_ids_tail: Optional[jax.Array] = None     # i32[PT]
+    i_ids_tail: Optional[jax.Array] = None     # i32[PT]
+    y_tail: Optional[jax.Array] = None         # f32[PT]
 
     @property
     def nnz_padded(self) -> int:
@@ -53,8 +62,14 @@ class DeviceData:
 def build_device_data(store: RatingsStore, *, pad_multiple: int = 1024,
                       dense: bool = True, dense_col_multiple: int = 4096,
                       dense_row_multiple: int = 512,
-                      dense_limit_bytes: int = 10 << 30) -> DeviceData:
-    """Build the static-shape device arrays from a finalized host store."""
+                      dense_limit_bytes: int = 10 << 30,
+                      hybrid_head_items: int = 0,
+                      head_limit_bytes: int = 4 << 30) -> DeviceData:
+    """Build the static-shape device arrays from a finalized host store.
+
+    hybrid_head_items > 0 (or "auto" sizing by the caller) additionally
+    splits the nonzeros into a dense uint8 block over the top-T items by
+    degree plus a tail COO stream (sweep_hybrid)."""
     u = store.coo_u.astype(np.int32)
     i = store.coo_i.astype(np.int32)
     y = store.coo_y.astype(np.float32)
@@ -62,6 +77,37 @@ def build_device_data(store: RatingsStore, *, pad_multiple: int = 1024,
     nnz = u.size
     p = max(pad_multiple, -(-max(nnz, 1) // pad_multiple) * pad_multiple)
     pad = p - nnz
+
+    head_items = head_dense = u_tail = i_tail = y_tail = None
+    if hybrid_head_items > 0 and m > 0 and nnz > 0:
+        t = min(hybrid_head_items, m)
+        npad = -(-max(n, 1) // dense_row_multiple) * dense_row_multiple
+        t = min(t, max(head_limit_bytes // max(npad, 1), 512))
+        t = max(512, (t // 512) * 512) if t >= 512 else t
+        deg = np.bincount(store.coo_i, minlength=m)
+        head_ids = np.sort(np.argsort(-deg, kind="stable")[:t])
+        head_ids = head_ids.astype(np.int32)
+        col_of = np.full(m, -1, np.int32)
+        col_of[head_ids] = np.arange(head_ids.size, dtype=np.int32)
+        in_head = col_of[store.coo_i] >= 0
+        hd = np.zeros((npad, head_ids.size), np.uint8)
+        hd[store.coo_u[in_head], col_of[store.coo_i[in_head]]] = \
+            np.minimum(store.coo_y[in_head], 255)
+        ut = store.coo_u[~in_head].astype(np.int32)
+        it = store.coo_i[~in_head].astype(np.int32)
+        yt = store.coo_y[~in_head].astype(np.float32)
+        pt = max(pad_multiple,
+                 -(-max(ut.size, 1) // pad_multiple) * pad_multiple)
+        padt = pt - ut.size
+        u_tail = jnp.asarray(np.concatenate(
+            [ut, np.full(padt, max(n - 1, 0), np.int32)]))
+        i_tail = jnp.asarray(np.concatenate(
+            [it, np.full(padt, max(m - 1, 0), np.int32)]))
+        y_tail = jnp.asarray(np.concatenate(
+            [yt, np.zeros(padt, np.float32)]))
+        head_items = jnp.asarray(head_ids)
+        head_dense = jnp.asarray(hd)
+
     # pad with max ids so both sort orders remain ascending
     u = np.concatenate([u, np.full(pad, max(n - 1, 0), np.int32)])
     i = np.concatenate([i, np.full(pad, max(m - 1, 0), np.int32)])
@@ -92,6 +138,11 @@ def build_device_data(store: RatingsStore, *, pad_multiple: int = 1024,
         i_ids_sorted=jnp.asarray(i[item_order]),
         u_ids_by_item=jnp.asarray(u[item_order]),
         dense_y=dense_y,
+        head_items=head_items,
+        head_dense_y=head_dense,
+        u_ids_tail=u_tail,
+        i_ids_tail=i_tail,
+        y_tail=y_tail,
     )
 
 

@@ -83,8 +83,14 @@ class Trainer:
             self.outdir = os.path.join(self.shared_outdir,
                                        f".proc{jax.process_index()}")
         os.makedirs(self.outdir, exist_ok=True)
-        self.data = device_data if device_data is not None else \
-            build_device_data(store)
+        if device_data is not None:
+            self.data = device_data
+        else:
+            # catalogs too wide to densify get the hybrid head/tail
+            # layout (dense top-degree items + segment tail) by default
+            head = 8192 if (store.m > 65536 and
+                            mcfg.sweep in ("auto", "hybrid")) else 0
+            self.data = build_device_data(store, hybrid_head_items=head)
         self.step = make_step(mcfg)
         self.multi_step = make_multi_step(mcfg)
         self.state: ModelState = init_state(mcfg, seed=rcfg.seed)

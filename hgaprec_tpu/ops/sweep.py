@@ -231,10 +231,24 @@ def sweep_segment_chunked(elog_a: jax.Array, elog_b: jax.Array,
     values are identical up to f32 rounding; the 1e-30 clamp mirrors
     gpbase.hh make_nonzero. Zero-count padding rows contribute nothing
     (phi = 0)."""
-    n, k = elog_a.shape
-    m = elog_b.shape[0]
-    bias = elog_bias_a is not None
-    p = data.u_ids.shape[0]
+    a_lin = jnp.exp(elog_a)
+    b_lin = jnp.exp(elog_b)
+    ba_lin = jnp.exp(elog_bias_a) if elog_bias_a is not None else None
+    bb_lin = jnp.exp(elog_bias_b) if elog_bias_b is not None else None
+    return _segment_onepass_lin(a_lin, b_lin, ba_lin, bb_lin,
+                                data.u_ids, data.i_ids, data.y, chunk)
+
+
+def _segment_onepass_lin(a_lin, b_lin, ba_lin, bb_lin,
+                         u_ids, i_ids, y, chunk: int) -> SweepResult:
+    """The one-pass linear-space COO sweep over a user-sorted stream.
+
+    Shared by the chunked segment mode and the tail half of the hybrid
+    mode. Inputs are linear-space expectations (exp of Elog)."""
+    n, k = a_lin.shape
+    m = b_lin.shape[0]
+    bias = ba_lin is not None
+    p = u_ids.shape[0]
     nc = -(-p // chunk)
     pp = nc * chunk
 
@@ -242,15 +256,9 @@ def sweep_segment_chunked(elog_a: jax.Array, elog_b: jax.Array,
         return (x if x.shape[0] == pp else
                 jnp.pad(x, (0, pp - x.shape[0]), constant_values=fill))
 
-    # user-ordered stream only
-    u_ids = padi(data.u_ids, n - 1).reshape(nc, chunk)
-    i_ids = padi(data.i_ids, m - 1).reshape(nc, chunk)
-    y_u = padi(data.y, 0.0).reshape(nc, chunk)
-
-    a_lin = jnp.exp(elog_a)
-    b_lin = jnp.exp(elog_b)
-    ba_lin = jnp.exp(elog_bias_a) if bias else None
-    bb_lin = jnp.exp(elog_bias_b) if bias else None
+    u_r = padi(u_ids, n - 1).reshape(nc, chunk)
+    i_r = padi(i_ids, m - 1).reshape(nc, chunk)
+    y_r = padi(y, 0.0).reshape(nc, chunk)
 
     def body(carry, xs):
         acc_a, acc_b, acc_ba, acc_bb = carry
@@ -274,12 +282,55 @@ def sweep_segment_chunked(elog_a: jax.Array, elog_b: jax.Array,
             acc_bb = acc_bb.at[ii].add(w * bbi)
         return (acc_a, acc_b, acc_ba, acc_bb), None
 
-    dt = elog_a.dtype
+    dt = a_lin.dtype
     init = (jnp.zeros((n, k), dt), jnp.zeros((m, k), dt),
             jnp.zeros((n,), dt), jnp.zeros((m,), dt))
     (acc_a, acc_b, acc_ba, acc_bb), _ = jax.lax.scan(
-        body, init, (u_ids, i_ids, y_u))
+        body, init, (u_r, i_r, y_r))
     if bias:
+        return SweepResult(acc_a, acc_b, acc_ba, acc_bb)
+    return SweepResult(acc_a, acc_b, None, None)
+
+
+def sweep_hybrid(elog_a: jax.Array, elog_b: jax.Array,
+                 elog_bias_a: Optional[jax.Array],
+                 elog_bias_b: Optional[jax.Array],
+                 data: DeviceData, *, bf16: bool = False,
+                 chunk: int = SEGMENT_CHUNK,
+                 interpret: bool = False) -> SweepResult:
+    """Head/tail hybrid sweep for power-law catalogs too wide to densify.
+
+    The reference's own analysis layer documents the heavy-tailed item
+    popularity (marg.R NB fits); at NYT/EchoNest scale the head items
+    carry most nonzeros. Build time splits the COO: nonzeros whose item
+    is among the top-T by degree land in a dense uint8 [N, T] block
+    (head_dense_y, columns = head_items) and run through the fused MXU
+    kernel; the tail runs the one-pass segment sweep. Both halves share
+    the identical denominator s = <A[u], B[i]> (+ biases), so the result
+    equals the pure segment sweep up to f32 summation order."""
+    from hgaprec_tpu.ops.dense_pallas import fused_dense_sweep
+    bias = elog_bias_a is not None
+    a_lin = jnp.exp(elog_a)
+    b_lin = jnp.exp(elog_b)
+    ba_lin = jnp.exp(elog_bias_a) if bias else None
+    bb_lin = jnp.exp(elog_bias_b) if bias else None
+
+    head = data.head_items                       # i32[T]
+    b_head = b_lin[head]                         # [T, K]
+    bb_head = bb_lin[head] if bias else None
+    raw = fused_dense_sweep(a_lin, b_head, data.head_dense_y,
+                            ba_lin if bias else None, bb_head,
+                            bf16=bf16, interpret=interpret)
+
+    tail = _segment_onepass_lin(a_lin, b_lin, ba_lin, bb_lin,
+                                data.u_ids_tail, data.i_ids_tail,
+                                data.y_tail, chunk)
+
+    acc_a = tail.acc_a + a_lin * raw[0]
+    acc_b = tail.acc_b.at[head].add(b_head * raw[1])
+    if bias:
+        acc_ba = tail.acc_bias_a + ba_lin * raw[2]
+        acc_bb = tail.acc_bias_b.at[head].add(bb_head * raw[3])
         return SweepResult(acc_a, acc_b, acc_ba, acc_bb)
     return SweepResult(acc_a, acc_b, None, None)
 
@@ -311,6 +362,14 @@ def sweep(elog_a, elog_b, elog_bias_a, elog_bias_b, data: DeviceData,
         return sweep_dense(elog_a, elog_b, elog_bias_a, elog_bias_b,
                            data.dense_y, item_block=item_block,
                            user_block=user_block, precision=precision)
+    if mode == "hybrid":
+        if data.head_dense_y is None:
+            raise ValueError("hybrid sweep requested but the head dense "
+                             "block was not built (build_device_data "
+                             "hybrid_head_items)")
+        return sweep_hybrid(elog_a, elog_b, elog_bias_a, elog_bias_b,
+                            data, bf16=(precision == "default"),
+                            interpret=jax.default_backend() != "tpu")
     if (mode == "segment-chunked" or
             data.u_ids.shape[0] > SEGMENT_CHUNK_THRESHOLD):
         return sweep_segment_chunked(elog_a, elog_b, elog_bias_a,

@@ -21,6 +21,7 @@ sys.path.insert(0, ROOT)
 
 import numpy as np  # noqa: E402
 import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
@@ -38,12 +39,16 @@ K = 100
 
 
 def build_coo(n, m, nnz, seed=5):
-    """Power-law-ish synthetic COO stream, user-sorted, deduplicated."""
+    """Power-law synthetic COO stream, user-sorted, deduplicated.
+
+    Item popularity is zipf(1.2) — the marginal family the reference's
+    own analysis fits to plays/clicks (marg.R NB fits; EchoNest/NYT are
+    heavily head-concentrated). User activity keeps the milder power
+    marginal."""
     rng = np.random.default_rng(seed)
-    # zipf-flavored marginals: heavy users / popular items
     u = (n * rng.power(3.0, nnz)).astype(np.int64)
-    i = (m * rng.power(3.0, nnz)).astype(np.int64)
-    u, i = np.minimum(u, n - 1), np.minimum(i, m - 1)
+    i = np.minimum(rng.zipf(1.2, nnz) - 1, m - 1).astype(np.int64)
+    u = np.minimum(u, n - 1)
     key = u * m + i
     order = np.argsort(key, kind="stable")
     key = key[order]
@@ -77,11 +82,51 @@ def main():
                       u_ids_by_item=j(u[item_order]), dense_y=None)
     print(f"device data {time.time() - t0:.0f}s", flush=True)
 
-    results = {"preset": preset, "n": n, "m": m, "k": K, "nnz": int(u.size)}
+    # hybrid head/tail layout: top-degree items as a dense uint8 block,
+    # built ON DEVICE (a multi-GB host alloc would page-fault for
+    # minutes in this sandbox; production hosts build it host-side in
+    # build_device_data)
+    import dataclasses
+    t_head = 8192
+    deg = np.bincount(i, minlength=m)
+    head_ids = np.sort(np.argsort(-deg, kind="stable")[:t_head])
+    head_ids = head_ids.astype(np.int32)
+    col_of = np.full(m, -1, np.int32)
+    col_of[head_ids] = np.arange(t_head, dtype=np.int32)
+    in_head = col_of[i] >= 0
+    coverage = float(in_head.mean())
+    npad = -(-n // 512) * 512
+
+    @jax.jit
+    def build_head(uh, ch, yh):
+        z = jnp.zeros((npad, t_head), jnp.uint8)
+        return z.at[uh, ch].set(jnp.minimum(yh, 255).astype(jnp.uint8))
+
+    head_dense = build_head(jnp.asarray(u[in_head]),
+                            jnp.asarray(col_of[i[in_head]]),
+                            jnp.asarray(y[in_head]))
+    ut, it_, yt = u[~in_head], i[~in_head], y[~in_head]
+    pt = -(-max(ut.size, 1) // 1024) * 1024
+    padt = pt - ut.size
+    data_h = dataclasses.replace(
+        data,
+        head_items=j(head_ids), head_dense_y=head_dense,
+        u_ids_tail=j(np.concatenate([ut, np.full(padt, n - 1, np.int32)])),
+        i_ids_tail=j(np.concatenate([it_, np.full(padt, m - 1,
+                                                  np.int32)])),
+        y_tail=j(np.concatenate([yt, np.zeros(padt, np.float32)])))
+    print(f"head: T={t_head} coverage={coverage:.2f} "
+          f"tail nnz={ut.size / 1e6:.1f}M", flush=True)
+
+    results = {"preset": preset, "n": n, "m": m, "k": K, "nnz": int(u.size),
+               "head_T": t_head, "head_coverage": round(coverage, 3)}
     import functools
-    for prec, tag in (("default", "bf16"), ("highest", "f32")):
+    for mode, prec, tag in (("segment-chunked", "default", "bf16"),
+                            ("hybrid", "default", "hybrid_bf16"),
+                            ("hybrid", "highest", "hybrid_f32")):
         cfg = ModelConfig(n=n, m=m, k=K, variant="hpf",
-                          sweep="segment-chunked", matmul_precision=prec)
+                          sweep=mode, matmul_precision=prec)
+        dd = data_h if mode == "hybrid" else data
         state = init_state(cfg, seed=1)
 
         @functools.partial(jax.jit, donate_argnums=(0,),
@@ -90,13 +135,13 @@ def main():
             return cavi_step(st, d, cfg, None, None)
 
         t0 = time.time()
-        state = step(state, data, cfg=cfg)
+        state = step(state, dd, cfg=cfg)
         _ = np.asarray(state.theta.e[0, 0])
         print(f"{tag} compile+first {time.time() - t0:.1f}s", flush=True)
         t0 = time.time()
         iters = 5
         for _ in range(iters):
-            state = step(state, data, cfg=cfg)
+            state = step(state, dd, cfg=cfg)
         _ = np.asarray(state.theta.e[0, 0])
         ms = (time.time() - t0) / iters * 1e3
         print(f"{tag}: {ms:.0f} ms/iter", flush=True)

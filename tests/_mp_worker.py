@@ -45,10 +45,21 @@ def main():
         run.step()
     st = run.unsharded_state()
 
+    # multi-host item-sharded ranking eval: every process participates
+    # in the collectives; results must be identical everywhere
+    from hgaprec_tpu.eval.score import scorer_from_state
+    from hgaprec_tpu.parallel.sharded import sharded_masked_topk
+    sc = scorer_from_state(st, cfg)
+    users = np.asarray([0, 3, 7], np.int64)
+    mask_cols = np.full((3, 2), -(10 ** 9), np.int32)
+    mask_cols[0, 0] = 2   # mask one item for user 0
+    tv, ti = sharded_masked_topk(sc, run.mesh, users, mask_cols, k=5)
+
     np.savez(os.path.join(outdir, f"proc{pid}.npz"),
              theta_e=np.asarray(st.theta.e),
              beta_e=np.asarray(st.beta.e),
              xi_e=np.asarray(st.theta_rate.e),
+             topk_vals=tv, topk_ids=ti,
              primary=np.asarray([1 if is_primary() else 0]))
     print(f"proc {pid}: OK", flush=True)
 

@@ -62,6 +62,20 @@ def test_two_process_sharding(tmp_path):
     for _ in range(3):
         state = step(state, data)
 
+    # the item-sharded top-k ran as a cross-process collective; check it
+    # against a host-side masked argsort of the same model
+    from hgaprec_tpu.eval.score import scorer_from_state
+    z0 = np.load(tmp_path / "proc0.npz")
+    sc = scorer_from_state(state, cfg)
+    scores = np.asarray(sc.su) @ np.asarray(sc.sv).T
+    scores[0, 2] = 0.0   # the masked (user 0, item 2) cell
+    for r, n in enumerate((0, 3, 7)):
+        want = np.sort(scores[n])[::-1][:5]
+        np.testing.assert_allclose(z0["topk_vals"][r], want, rtol=2e-4,
+                                   atol=1e-6, err_msg=f"topk user {n}")
+    z1 = np.load(tmp_path / "proc1.npz")
+    np.testing.assert_array_equal(z0["topk_ids"], z1["topk_ids"])
+
     saw_primary = []
     for pid in (0, 1):
         z = np.load(tmp_path / f"proc{pid}.npz")

@@ -4,8 +4,9 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+from conftest import make_synthetic
 from hgaprec_tpu.data.device import build_device_data
-from hgaprec_tpu.ops.sweep import sweep_dense, sweep_segment
+from hgaprec_tpu.ops.sweep import sweep_dense, sweep_segment, sweep_hybrid
 
 
 def naive_sweep(elog_a, elog_b, bias_a, bias_b, u, i, y):
@@ -133,3 +134,68 @@ def test_padding_contributes_nothing(rng):
     s2 = sweep_segment(j(elog_a), j(elog_b), None, None, big)
     np.testing.assert_allclose(np.asarray(s1.acc_a), np.asarray(s2.acc_a),
                                rtol=1e-6)
+
+
+@pytest.mark.parametrize("bias", [False, True])
+def test_hybrid_matches_segment(rng, bias):
+    """Head/tail hybrid sweep == pure segment sweep (same accumulators)."""
+    from hgaprec_tpu.data.device import build_device_data as bdd
+    store, _, _ = make_synthetic(rng, n=47, m=35, density=0.3)
+    k = 4
+    elog_a = jnp.asarray(rng.normal(size=(store.n, k)).astype(np.float32)
+                         * 0.3)
+    elog_b = jnp.asarray(rng.normal(size=(store.m, k)).astype(np.float32)
+                         * 0.3)
+    eba = jnp.asarray(rng.normal(size=(store.n,)).astype(np.float32) * 0.3) \
+        if bias else None
+    ebb = jnp.asarray(rng.normal(size=(store.m,)).astype(np.float32) * 0.3) \
+        if bias else None
+
+    data_seg = bdd(store, pad_multiple=16, dense=False)
+    ref = sweep_segment(elog_a, elog_b, eba, ebb, data_seg)
+
+    data_h = bdd(store, pad_multiple=16, dense=False, hybrid_head_items=12)
+    assert data_h.head_dense_y is not None
+    assert data_h.head_items.shape[0] <= 12
+    # tail must actually contain some nonzeros and exclude head items
+    head_set = set(np.asarray(data_h.head_items).tolist())
+    tails = np.asarray(data_h.i_ids_tail)[np.asarray(data_h.y_tail) > 0]
+    assert tails.size > 0 and not head_set.intersection(tails.tolist())
+    got = sweep_hybrid(elog_a, elog_b, eba, ebb, data_h, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(got.acc_a), np.asarray(ref.acc_a),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.acc_b), np.asarray(ref.acc_b),
+                               rtol=2e-4, atol=1e-5)
+    if bias:
+        np.testing.assert_allclose(np.asarray(got.acc_bias_a),
+                                   np.asarray(ref.acc_bias_a),
+                                   rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got.acc_bias_b),
+                                   np.asarray(ref.acc_bias_b),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_hybrid_step_matches_segment_step(rng):
+    """cavi_step over hybrid data == cavi_step over segment data (HPF)."""
+    from hgaprec_tpu.config import ModelConfig
+    from hgaprec_tpu.data.device import build_device_data as bdd
+    from hgaprec_tpu.models.state import init_state
+    from hgaprec_tpu.models.step import cavi_step
+    store, _, _ = make_synthetic(rng, n=31, m=23, density=0.35)
+    cfg_s = ModelConfig(n=store.n, m=store.m, k=3, variant="hpf",
+                        sweep="segment")
+    cfg_h = ModelConfig(n=store.n, m=store.m, k=3, variant="hpf",
+                        sweep="hybrid")
+    d_s = bdd(store, pad_multiple=16, dense=False)
+    d_h = bdd(store, pad_multiple=16, dense=False, hybrid_head_items=8)
+    s1 = init_state(cfg_s, seed=4)
+    s2 = init_state(cfg_h, seed=4)
+    for _ in range(3):
+        s1 = cavi_step(s1, d_s, cfg_s)
+        s2 = cavi_step(s2, d_h, cfg_h)
+    np.testing.assert_allclose(np.asarray(s2.theta.e),
+                               np.asarray(s1.theta.e), rtol=2e-4,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s2.beta.e),
+                               np.asarray(s1.beta.e), rtol=2e-4, atol=1e-6)
