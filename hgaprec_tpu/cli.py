@@ -228,12 +228,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     # multi-process launch is detected, default to sharding over the
     # whole pod unless -devices narrowed it explicitly
     from hgaprec_tpu.parallel.distributed import initialize_from_env
+    user_rows = None
     if initialize_from_env():
         import jax
         if o["devices"] <= 1:
             o["devices"] = len(jax.devices())
         print(f"+ multi-host: process {jax.process_index()} of "
               f"{jax.process_count()}, {len(jax.devices())} devices")
+        # per-host ingest: each process materializes only its own user
+        # rows of train.tsv (the id maps and val/test maps stay global)
+        from hgaprec_tpu.parallel.distributed import host_user_rows
+        user_rows = host_user_rows
 
     from hgaprec_tpu.config import ModelConfig, RunConfig
     from hgaprec_tpu.data.ratings import load_dataset
@@ -253,9 +258,12 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     print(f"+ reading ratings dataset from {o['dir']}")
     store, validation, test = load_dataset(
-        o["dir"], o["n"], o["m"], o["binary"], o["rating_threshold"])
+        o["dir"], o["n"], o["m"], o["binary"], o["rating_threshold"],
+        user_rows=user_rows)
     print(f"read {store.n} users, {store.m} movies, "
-          f"{store.nratings} ratings")
+          f"{store.nratings} ratings"
+          + (f" (local rows {store.local_user_rows})"
+             if store.local_user_rows else ""))
 
     mcfg = ModelConfig(
         n=store.n, m=store.m, k=o["k"], variant=variant, bias=o["bias"],
@@ -274,7 +282,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         chi_tool=chi_tool, wals_l=o["wals_l"], wals_C=o["wals_C"])
 
     from hgaprec_tpu.models.engine import Trainer
-    tr = Trainer(store, validation, test, mcfg, rcfg)
+    # multi-host: the sharded driver builds per-device data itself; the
+    # per-host-ingested store must not be densified single-device
+    tr = Trainer(store, validation, test, mcfg, rcfg,
+                 build_data=(user_rows is None or o["devices"] <= 1))
     tr.install_sigterm()
     print(f"+ output directory: {tr.outdir}")
 

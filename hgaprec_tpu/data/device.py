@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hgaprec_tpu.data.ratings import RatingsStore
+from hgaprec_tpu.ops.mxu_tail import TailCompact, build_tail_compact
 
 
 @jax.tree_util.register_dataclass
@@ -53,6 +54,9 @@ class DeviceData:
     u_ids_tail: Optional[jax.Array] = None     # i32[PT]
     i_ids_tail: Optional[jax.Array] = None     # i32[PT]
     y_tail: Optional[jax.Array] = None         # f32[PT]
+    # compact-id tail stream for the MXU sparse sweep (ops/mxu_tail.py);
+    # preferred over the raw tail COO when present
+    tail_compact: Optional[TailCompact] = None
 
     @property
     def nnz_padded(self) -> int:
@@ -79,11 +83,22 @@ def build_device_data(store: RatingsStore, *, pad_multiple: int = 1024,
     pad = p - nnz
 
     head_items = head_dense = u_tail = i_tail = y_tail = None
+    tail_compact = None
+    t = 0
     if hybrid_head_items > 0 and m > 0 and nnz > 0:
         t = min(hybrid_head_items, m)
         npad = -(-max(n, 1) // dense_row_multiple) * dense_row_multiple
-        t = min(t, max(head_limit_bytes // max(npad, 1), 512))
-        t = max(512, (t // 512) * 512) if t >= 512 else t
+        # byte budget clips the head width; if the budget can't even fit
+        # a 512-column block (huge N), fall back to pure segment rather
+        # than silently exceeding head_limit_bytes
+        budget = head_limit_bytes // max(npad, 1)
+        if budget < min(t, 512):
+            t = 0
+        else:
+            t = min(t, budget)
+            if t >= 512:
+                t = (t // 512) * 512
+    if t > 0:
         deg = np.bincount(store.coo_i, minlength=m)
         head_ids = np.sort(np.argsort(-deg, kind="stable")[:t])
         head_ids = head_ids.astype(np.int32)
@@ -107,6 +122,7 @@ def build_device_data(store: RatingsStore, *, pad_multiple: int = 1024,
             [yt, np.zeros(padt, np.float32)]))
         head_items = jnp.asarray(head_ids)
         head_dense = jnp.asarray(hd)
+        tail_compact = build_tail_compact(ut, it, yt)
 
     # pad with max ids so both sort orders remain ascending
     u = np.concatenate([u, np.full(pad, max(n - 1, 0), np.int32)])
@@ -143,6 +159,7 @@ def build_device_data(store: RatingsStore, *, pad_multiple: int = 1024,
         u_ids_tail=u_tail,
         i_ids_tail=i_tail,
         y_tail=y_tail,
+        tail_compact=tail_compact,
     )
 
 

@@ -101,6 +101,10 @@ class RatingsStore:
         self.row_ptr: np.ndarray = np.zeros(1, np.int64)  # user CSR pointers
         self._rating_lookup: Dict[Tuple[int, int], int] = {}
         self._finalized = False
+        # per-host ingest: when set, the training COO holds only the seq
+        # rows in this range (the id maps stay GLOBAL — seq assignment is
+        # first-seen over the whole file, so every process agrees on ids)
+        self.local_user_rows: Optional[slice] = None
 
     # -- id remap ----------------------------------------------------------
     @property
@@ -141,13 +145,21 @@ class RatingsStore:
         return un, mn
 
     # -- ingest ------------------------------------------------------------
-    def read_generic(self, path: str, cmap: Optional[CountMap]) -> None:
+    def read_generic(self, path: str, cmap: Optional[CountMap],
+                     user_rows=None) -> None:
         """ratings.cc:63-119. cmap None -> training store; else fill cmap.
 
         Note reference semantics: test/validation rows also create new ids
         when capacity remains (add_user/add_movie called for unseen ids).
         The first (training) read takes a fully vectorized path — the
         per-row loop would not scale to Netflix/EchoNest row counts.
+
+        `user_rows` (training read only): a slice over SEQ user ids, or a
+        callable (actual_n -> slice); only training rows whose user falls
+        in the range are materialized (per-host ingest on a pod — see
+        parallel.distributed.host_user_rows). The external<->seq id maps
+        still cover the full file, so id assignment is identical on every
+        process.
         """
         data = _parse_tsv(path)
         if cmap is None and not self.user2seq and data.shape[0] > 10000:
@@ -159,7 +171,7 @@ class RatingsStore:
             live = (y_col >= self.rating_threshold) if self.binary                 else (y_col > 0)
             if (np.unique(data[live, 0]).size <= self.max_n and
                     np.unique(data[live, 1]).size <= self.max_m):
-                self._ingest_vectorized(data)
+                self._ingest_vectorized(data, user_rows)
                 return
         for uid, mid, rating in data:
             uid, mid, rating = int(uid), int(mid), int(rating)
@@ -177,8 +189,22 @@ class RatingsStore:
                 self._y.append(y)
             else:
                 cmap[(un, mn)] = y
+        if cmap is None and user_rows is not None:
+            self._restrict_users(user_rows)
 
-    def _ingest_vectorized(self, data: np.ndarray) -> None:
+    def _restrict_users(self, user_rows) -> None:
+        """Drop training rows outside this host's seq-id range (id maps
+        are untouched — they must stay global)."""
+        rows = user_rows(self.n) if callable(user_rows) else user_rows
+        u = np.asarray(self._u, dtype=np.int64)
+        keep = (u >= rows.start) & (u < rows.stop)
+        self._u = u[keep]
+        self._i = np.asarray(self._i, dtype=np.int64)[keep]
+        self._y = np.asarray(self._y, dtype=np.int64)[keep]
+        self.local_user_rows = rows
+
+    def _ingest_vectorized(self, data: np.ndarray,
+                           user_rows=None) -> None:
         """First-seen-order remap + filters, NumPy-vectorized. Matches the
         scalar path exactly: the rating-class filter runs first, then ids
         are minted in row order until capacity, and rows referencing
@@ -214,9 +240,18 @@ class RatingsStore:
         self.seq2user = {v: k for k, v in u_ext2seq.items()}
         self.movie2seq = m_ext2seq
         self.seq2movie = {v: k for k, v in m_ext2seq.items()}
-        self._u = list(u_seq[keep])
-        self._i = list(m_seq[keep])
-        self._y = list(y[keep])
+        if user_rows is not None:
+            # per-host ingest: the remap above is global (computed from
+            # the full column), only the materialized COO is sliced
+            rows = (user_rows(len(u_ext2seq)) if callable(user_rows)
+                    else user_rows)
+            keep = keep & (u_seq >= rows.start) & (u_seq < rows.stop)
+            self.local_user_rows = rows
+        # keep ndarrays (a Python list of np.int64 objects costs ~30x the
+        # memory at NYT/EchoNest row counts); finalize() accepts both
+        self._u = u_seq[keep]
+        self._i = m_seq[keep]
+        self._y = y[keep]
 
     def add_training(self, u_ext: Iterable[int], i_ext: Iterable[int],
                      y: Iterable[int]) -> None:
@@ -312,16 +347,23 @@ class RatingsStore:
 
 
 def load_dataset(datdir: str, max_n: int, max_m: int, binary: bool,
-                 rating_threshold: int
+                 rating_threshold: int, user_rows=None
                  ) -> Tuple[RatingsStore, CountMap, CountMap]:
     """Reference main-flow load: train.tsv, then validation.tsv/test.tsv maps.
 
     Order matters for ID assignment parity: training first
     (Ratings::read, main.cc:246), then validation, then test
     (load_validation_and_test_sets, hgaprec.cc:110-152).
+
+    `user_rows` (pod ingest): slice over seq user ids, or callable
+    (actual_n -> slice) — typically parallel.distributed.host_user_rows.
+    Only this host's training rows are materialized as COO; the id maps
+    and the validation/test maps stay global (likelihood eval and the
+    stopping rule run in lockstep on every process).
     """
     store = RatingsStore(max_n, max_m, binary, rating_threshold)
-    store.read_generic(os.path.join(datdir, "train.tsv"), None)
+    store.read_generic(os.path.join(datdir, "train.tsv"), None,
+                       user_rows=user_rows)
     store.finalize()
     # Reference parity: Ratings::read() resets env.n/env.m to the training
     # counts (ratings.cc:34-36), so later validation/test reads cannot mint

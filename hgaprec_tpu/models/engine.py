@@ -59,7 +59,8 @@ class Trainer:
     def __init__(self, store: RatingsStore, validation: CountMap,
                  test: CountMap, mcfg: ModelConfig, rcfg: RunConfig,
                  device_data: Optional[DeviceData] = None,
-                 primary: Optional[bool] = None):
+                 primary: Optional[bool] = None,
+                 build_data: bool = True):
         self.store = store
         self.validation = validation
         self.test = test
@@ -85,11 +86,27 @@ class Trainer:
         os.makedirs(self.outdir, exist_ok=True)
         if device_data is not None:
             self.data = device_data
+        elif not build_data:
+            # the sharded multi-host driver builds per-device shards
+            # itself (parallel/sharded.py); a per-host-ingested store
+            # holds only local rows, so single-device data would be both
+            # wasteful and partial
+            self.data = None
         else:
             # catalogs too wide to densify get the hybrid head/tail
-            # layout (dense top-degree items + segment tail) by default
-            head = 8192 if (store.m > 65536 and
-                            mcfg.sweep in ("auto", "hybrid")) else 0
+            # layout (dense top-degree items + MXU-tail sweep) by
+            # default; skip the head block when the catalog densifies
+            # anyway (dense_y is the faster path and the head would be
+            # dead weight in HBM). Explicit sweep='hybrid' always builds
+            # the head regardless of m.
+            will_densify = store.n * store.m <= (10 << 30)
+            if mcfg.sweep == "hybrid":
+                head = 8192
+            elif (mcfg.sweep == "auto" and store.m > 65536 and
+                    not will_densify):
+                head = 8192
+            else:
+                head = 0
             self.data = build_device_data(store, hybrid_head_items=head)
         self.step = make_step(mcfg)
         self.multi_step = make_multi_step(mcfg)
@@ -115,7 +132,10 @@ class Trainer:
         self._open_outputs()
         if self.primary:
             self._write_param_txt()
-            if rcfg.write_marginals:
+            # marginals need the full COO; a per-host-ingested store
+            # holds only this host's rows (data/ratings.py user_rows)
+            if rcfg.write_marginals and \
+                    getattr(store, "local_user_rows", None) is None:
                 store.write_marginal_distributions(self.outdir)
 
     # -- plumbing ----------------------------------------------------------
@@ -317,6 +337,11 @@ class Trainer:
                              self.outdir)
 
     def logl(self) -> float:
+        if self.data is None:
+            # per-host ingest: this process holds only its row slice, so
+            # a full training ELBO is not computable host-locally
+            self.log("logl skipped: no single-device data (sharded run)")
+            return 0.0
         s = float(training_elbo(self.state, self.data, self.mcfg))
         f = self._files["logl.txt"]
         f.write(f"{s:.5f}\n")

@@ -71,8 +71,11 @@ def _resolve_mode(cfg: ModelConfig, data: DeviceData) -> str:
     if mode == C.SWEEP_DENSE and data.dense_y is None:
         mode = (C.SWEEP_HYBRID if data.head_dense_y is not None
                 else C.SWEEP_SEGMENT)
-    if auto and mode == C.SWEEP_SEGMENT and data.head_dense_y is not None:
-        mode = C.SWEEP_HYBRID          # head block built -> use it
+    if auto and mode == C.SWEEP_SEGMENT:
+        if data.dense_y is not None:
+            mode = C.SWEEP_DENSE       # densified despite wide m: MXU path
+        elif data.head_dense_y is not None:
+            mode = C.SWEEP_HYBRID      # head block built -> use it
     if mode == C.SWEEP_HYBRID and data.head_dense_y is None:
         mode = C.SWEEP_SEGMENT
     return mode

@@ -202,7 +202,10 @@ def fused_dense_sweep(a_lin: jax.Array, b_lin: jax.Array,
     ]
     operands = [a, b]
     if bias:
-        ba = _pad_axis(ba_lin.reshape(-1, 1), tile_u, 0)       # [np_, 1]
+        # pad ba all the way to np_ (not just a tile_u multiple): when
+        # dense_y rows exceed the factor rows, np_ was re-padded above
+        # and a tile_u-multiple pad of ba would fall short of it
+        ba = _pad_axis(ba_lin.reshape(-1, 1), np_, 0)          # [np_, 1]
         bb = _pad_axis(bb_lin.reshape(1, -1), mp, 1)           # [1, mp]
         operands += [ba, bb]
         in_specs += [

@@ -305,9 +305,11 @@ def sweep_hybrid(elog_a: jax.Array, elog_b: jax.Array,
     carry most nonzeros. Build time splits the COO: nonzeros whose item
     is among the top-T by degree land in a dense uint8 [N, T] block
     (head_dense_y, columns = head_items) and run through the fused MXU
-    kernel; the tail runs the one-pass segment sweep. Both halves share
-    the identical denominator s = <A[u], B[i]> (+ biases), so the result
-    equals the pure segment sweep up to f32 summation order."""
+    kernel; the tail runs the MXU-native compact sweep (ops/mxu_tail.py)
+    when the compact stream was built, else the one-pass segment sweep.
+    All paths share the identical denominator s = <A[u], B[i]>
+    (+ biases), so the result equals the pure segment sweep up to f32
+    summation order."""
     from hgaprec_tpu.ops.dense_pallas import fused_dense_sweep
     bias = elog_bias_a is not None
     a_lin = jnp.exp(elog_a)
@@ -322,9 +324,14 @@ def sweep_hybrid(elog_a: jax.Array, elog_b: jax.Array,
                             ba_lin if bias else None, bb_head,
                             bf16=bf16, interpret=interpret)
 
-    tail = _segment_onepass_lin(a_lin, b_lin, ba_lin, bb_lin,
-                                data.u_ids_tail, data.i_ids_tail,
-                                data.y_tail, chunk)
+    if data.tail_compact is not None:
+        from hgaprec_tpu.ops.mxu_tail import mxu_tail_sweep
+        tail = SweepResult(*mxu_tail_sweep(
+            a_lin, b_lin, ba_lin, bb_lin, data.tail_compact, bf16=bf16))
+    else:
+        tail = _segment_onepass_lin(a_lin, b_lin, ba_lin, bb_lin,
+                                    data.u_ids_tail, data.i_ids_tail,
+                                    data.y_tail, chunk)
 
     acc_a = tail.acc_a + a_lin * raw[0]
     acc_b = tail.acc_b.at[head].add(b_head * raw[1])

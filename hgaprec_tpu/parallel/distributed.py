@@ -81,3 +81,19 @@ def local_device_slice(n_global_rows: int) -> slice:
     lo = p * per
     hi = n_global_rows if p == jax.process_count() - 1 else lo + per
     return slice(lo, hi)
+
+
+def host_user_rows(n: int, ndev: Optional[int] = None) -> slice:
+    """Seq-id training rows THIS host should ingest, for
+    data.ratings.load_dataset(user_rows=host_user_rows): the user axis
+    padded to a device multiple, partitioned process-major — the same
+    row partition parallel.sharded.build_sharded_run derives, so a store
+    holding only these rows feeds exactly this host's shards.
+
+    Pass as the callable itself (it takes the ACTUAL user count, known
+    only after the global id remap).
+    """
+    import jax
+    ndev = ndev or jax.device_count()
+    n_padded = -(-n // ndev) * ndev
+    return local_device_slice(n_padded)

@@ -292,6 +292,22 @@ def build_sharded_run(store: RatingsStore, cfg: ModelConfig,
         pcfg = dataclasses.replace(cfg, n=n_padded)
     n_local = n_padded // ndev
 
+    rows = getattr(store, "local_user_rows", None)
+    if rows is not None:
+        # per-host-ingested store: verify its row range covers every
+        # shard this process's devices own (a mismatched partition would
+        # silently drop training data)
+        me = jax.process_index()
+        mine = [idx for idx, dev in enumerate(mesh.devices.flat)
+                if dev.process_index == me]
+        host_lo = min(mine) * n_local
+        host_hi = (max(mine) + 1) * n_local
+        if rows.start > host_lo or rows.stop < min(host_hi, n):
+            raise ValueError(
+                f"store.local_user_rows={rows} does not cover this "
+                f"host's shard rows [{host_lo}, {host_hi}); ingest with "
+                f"user_rows=parallel.distributed.host_user_rows")
+
     data = build_sharded_data(store, n_padded, mesh,
                               pad_multiple=pad_multiple, dense=dense)
 

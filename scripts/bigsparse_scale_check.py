@@ -1,14 +1,19 @@
 #!/usr/bin/env python
-"""Segment-path scale check: EchoNest / NYT-preset shapes on one chip.
+"""Big-sparse scale check: EchoNest / NYT-preset shapes on one chip.
 
 The dense uint8 stream is impossible at these shapes (EchoNest
-1019318 x 384546 ~ 392 GB dense), so training runs the chunked segment
-sweep (ops/sweep.py::sweep_segment_chunked): the [P, K] phi tensor only
-ever exists [chunk, K] at a time. This harness builds a synthetic COO
-stream at preset scale on the host, times the HPF CAVI step, and writes
-.bench_cache/<preset>_scale.json.
+1019318 x 384546 ~ 392 GB dense), so training runs either the chunked
+segment sweep or the hybrid head/tail layout (dense top-degree items on
+the MXU + the sparse tail). This harness builds a synthetic COO stream
+at preset scale on the host, times the HPF CAVI step per mode, and
+writes .bench_cache/<preset>_scale.json.
 
-Usage: python scripts/bigsparse_scale_check.py [echonest|nyt] [nnz_millions]
+Memory staging matters on a 16 GB chip: the segment mode runs first on
+the raw COO, which is then FREED before the multi-GB head block is
+built (keeping both alive OOMs at EchoNest scale — learned on hardware).
+
+Usage: python scripts/bigsparse_scale_check.py [echonest|nyt]
+           [nnz_millions] [head_gib]
 """
 
 import json
@@ -44,7 +49,8 @@ def build_coo(n, m, nnz, seed=5):
     Item popularity is zipf(1.2) — the marginal family the reference's
     own analysis fits to plays/clicks (marg.R NB fits; EchoNest/NYT are
     heavily head-concentrated). User activity keeps the milder power
-    marginal."""
+    marginal. NB: zipf dedup removes ~40% of draws at EchoNest scale,
+    so request ~1.7x the target nnz."""
     rng = np.random.default_rng(seed)
     u = (n * rng.power(3.0, nnz)).astype(np.int64)
     i = np.minimum(rng.zipf(1.2, nnz) - 1, m - 1).astype(np.int64)
@@ -58,36 +64,78 @@ def build_coo(n, m, nnz, seed=5):
     return u.astype(np.int32), i.astype(np.int32), y
 
 
+def fence(x):
+    return np.asarray(jax.tree.leaves(x)[0]).ravel()[0]
+
+
+def time_mode(cfg, data, label, iters=5):
+    import functools
+    from hgaprec_tpu.models.state import init_state
+    from hgaprec_tpu.models.step import cavi_step
+
+    state = init_state(cfg, seed=1)
+
+    @functools.partial(jax.jit, donate_argnums=(0,),
+                       static_argnames=("cfg",))
+    def step(st, d, cfg=cfg):
+        return cavi_step(st, d, cfg, None, None)
+
+    t0 = time.time()
+    state = step(state, data, cfg=cfg)
+    _ = fence(state.theta.e)
+    print(f"{label} compile+first {time.time() - t0:.1f}s", flush=True)
+    t0 = time.time()
+    for _ in range(iters):
+        state = step(state, data, cfg=cfg)
+    _ = fence(state.theta.e)
+    ms = (time.time() - t0) / iters * 1e3
+    print(f"{label}: {ms:.0f} ms/iter", flush=True)
+    assert np.isfinite(float(np.asarray(state.theta.e).sum()))
+    return ms, state
+
+
 def main():
     preset = sys.argv[1] if len(sys.argv) > 1 else "echonest"
-    nnz_m = float(sys.argv[2]) if len(sys.argv) > 2 else 48.0
+    nnz_m = float(sys.argv[2]) if len(sys.argv) > 2 else 85.0
+    head_gib = float(sys.argv[3]) if len(sys.argv) > 3 else 4.0
     n, m = PRESETS[preset]
 
     t0 = time.time()
     u, i, y = build_coo(n, m, int(nnz_m * 1e6))
-    print(f"host gen {time.time() - t0:.0f}s nnz={u.size / 1e6:.1f}M",
+    nnz = u.size
+    print(f"host gen {time.time() - t0:.0f}s nnz={nnz / 1e6:.1f}M",
           flush=True)
 
     from hgaprec_tpu.config import ModelConfig
     from hgaprec_tpu.data.device import DeviceData
-    from hgaprec_tpu.models.state import init_state
-    from hgaprec_tpu.models.step import cavi_step
 
+    results = {"preset": preset, "n": n, "m": m, "k": K, "nnz": int(nnz),
+               "distribution": "user power(3.0), item zipf(1.2), dedup"}
+
+    # ---- pure segment mode on the raw COO (the pre-hybrid default) ----
+    # sweep_segment_chunked touches only u_ids/i_ids/y; the item-order
+    # arrays are aliased rather than uploaded (saves 3 x nnz x 4 bytes)
     t0 = time.time()
-    item_order = np.argsort(i, kind="stable").astype(np.int32)
-    j = lambda x: jax.device_put(x)
-    data = DeviceData(u_ids=j(u), i_ids=j(i), y=j(y),
-                      item_order=j(item_order),
-                      i_ids_sorted=j(i[item_order]),
-                      u_ids_by_item=j(u[item_order]), dense_y=None)
+    j = jax.device_put
+    ud, id_, yd = j(u), j(i), j(y)
+    data = DeviceData(u_ids=ud, i_ids=id_, y=yd, item_order=ud,
+                      i_ids_sorted=id_, u_ids_by_item=ud, dense_y=None)
     print(f"device data {time.time() - t0:.0f}s", flush=True)
 
-    # hybrid head/tail layout: top-degree items as a dense uint8 block,
-    # built ON DEVICE (a multi-GB host alloc would page-fault for
+    cfg_seg = ModelConfig(n=n, m=m, k=K, variant="hpf",
+                          sweep="segment-chunked",
+                          matmul_precision="default")
+    ms, state = time_mode(cfg_seg, data, "segment_bf16")
+    results["ms_per_iter_bf16"] = round(ms, 1)
+    results["segment_ns_per_nnz"] = round(ms * 1e6 / nnz, 1)
+    del data, state
+
+    # ---- hybrid head/tail: free the raw COO first, then build the ----
+    # head block ON DEVICE (a multi-GB host alloc would page-fault for
     # minutes in this sandbox; production hosts build it host-side in
-    # build_device_data)
-    import dataclasses
-    t_head = 8192
+    # build_device_data with the same byte budget)
+    npad = -(-n // 512) * 512
+    t_head = min(8192, int(head_gib * (1 << 30)) // npad // 512 * 512)
     deg = np.bincount(i, minlength=m)
     head_ids = np.sort(np.argsort(-deg, kind="stable")[:t_head])
     head_ids = head_ids.astype(np.int32)
@@ -95,58 +143,94 @@ def main():
     col_of[head_ids] = np.arange(t_head, dtype=np.int32)
     in_head = col_of[i] >= 0
     coverage = float(in_head.mean())
-    npad = -(-n // 512) * 512
+    ut, it_, yt = u[~in_head], i[~in_head], y[~in_head]
+    del ud, id_, yd  # free raw COO from HBM before the head lands
+
+    # chunked 2-D scatter: one monolithic z.at[uh, ch].set() materializes
+    # an s32[P, 2] index tensor that XLA lane-pads 64x (19 GB at this
+    # scale — OOMs the chip, learned on hardware); a scan over 256k-entry
+    # chunks bounds the padded temp at ~134 MB
+    CH = 1 << 18
+    uh, chh = u[in_head], col_of[i[in_head]]
+    yh = np.minimum(y[in_head], 255).astype(np.uint8)
+    php = -(-uh.size // CH) * CH
+    ext = php - uh.size   # repeat the last entry: same-value dup is a no-op
+    uh = np.concatenate([uh, np.full(ext, uh[-1], uh.dtype)])
+    chh = np.concatenate([chh, np.full(ext, chh[-1], chh.dtype)])
+    yh = np.concatenate([yh, np.full(ext, yh[-1], np.uint8)])
 
     @jax.jit
-    def build_head(uh, ch, yh):
+    def build_head(uu, cc, vv):
         z = jnp.zeros((npad, t_head), jnp.uint8)
-        return z.at[uh, ch].set(jnp.minimum(yh, 255).astype(jnp.uint8))
 
-    head_dense = build_head(jnp.asarray(u[in_head]),
-                            jnp.asarray(col_of[i[in_head]]),
-                            jnp.asarray(y[in_head]))
-    ut, it_, yt = u[~in_head], i[~in_head], y[~in_head]
+        def body(zc, xs):
+            a, b, v = xs
+            return zc.at[a, b].set(v), None
+
+        z, _ = jax.lax.scan(body, z, (uu.reshape(-1, CH),
+                                      cc.reshape(-1, CH),
+                                      vv.reshape(-1, CH)))
+        return z
+
+    head_dense = build_head(jnp.asarray(uh), jnp.asarray(chh),
+                            jnp.asarray(yh))
+    _ = fence(head_dense)
+    del uh, chh, yh
     pt = -(-max(ut.size, 1) // 1024) * 1024
     padt = pt - ut.size
-    data_h = dataclasses.replace(
-        data,
-        head_items=j(head_ids), head_dense_y=head_dense,
-        u_ids_tail=j(np.concatenate([ut, np.full(padt, n - 1, np.int32)])),
-        i_ids_tail=j(np.concatenate([it_, np.full(padt, m - 1,
-                                                  np.int32)])),
-        y_tail=j(np.concatenate([yt, np.zeros(padt, np.float32)])))
+    utp = j(np.concatenate([ut, np.full(padt, n - 1, np.int32)]))
+    itp = j(np.concatenate([it_, np.full(padt, m - 1, np.int32)]))
+    ytp = j(np.concatenate([yt, np.zeros(padt, np.float32)]))
+    import dataclasses
+
+    from hgaprec_tpu.ops.mxu_tail import build_tail_compact, mxu_tail_sweep
+    tc = build_tail_compact(ut, it_, yt)
+    data_h = DeviceData(u_ids=utp, i_ids=itp, y=ytp, item_order=utp,
+                        i_ids_sorted=itp, u_ids_by_item=utp, dense_y=None,
+                        head_items=j(head_ids), head_dense_y=head_dense,
+                        u_ids_tail=utp, i_ids_tail=itp, y_tail=ytp)
+    data_hm = dataclasses.replace(data_h, tail_compact=tc)
     print(f"head: T={t_head} coverage={coverage:.2f} "
           f"tail nnz={ut.size / 1e6:.1f}M", flush=True)
+    results.update(head_T=t_head, head_coverage=round(coverage, 3),
+                   tail_nnz=int(ut.size))
 
-    results = {"preset": preset, "n": n, "m": m, "k": K, "nnz": int(u.size),
-               "head_T": t_head, "head_coverage": round(coverage, 3)}
-    import functools
-    for mode, prec, tag in (("segment-chunked", "default", "bf16"),
-                            ("hybrid", "default", "hybrid_bf16"),
-                            ("hybrid", "highest", "hybrid_f32")):
-        cfg = ModelConfig(n=n, m=m, k=K, variant="hpf",
-                          sweep=mode, matmul_precision=prec)
-        dd = data_h if mode == "hybrid" else data
-        state = init_state(cfg, seed=1)
-
-        @functools.partial(jax.jit, donate_argnums=(0,),
-                           static_argnames=("cfg",))
-        def step(st, d, cfg=cfg):
-            return cavi_step(st, d, cfg, None, None)
-
-        t0 = time.time()
-        state = step(state, dd, cfg=cfg)
-        _ = np.asarray(state.theta.e[0, 0])
-        print(f"{tag} compile+first {time.time() - t0:.1f}s", flush=True)
-        t0 = time.time()
-        iters = 5
-        for _ in range(iters):
-            state = step(state, dd, cfg=cfg)
-        _ = np.asarray(state.theta.e[0, 0])
-        ms = (time.time() - t0) / iters * 1e3
-        print(f"{tag}: {ms:.0f} ms/iter", flush=True)
+    state = None
+    for dd, prec, tag in ((data_h, "default", "hybrid_bf16"),
+                          (data_hm, "default", "hybrid_mxu_bf16"),
+                          (data_hm, "highest", "hybrid_mxu_f32")):
+        cfg = ModelConfig(n=n, m=m, k=K, variant="hpf", sweep="hybrid",
+                          matmul_precision=prec)
+        ms, state = time_mode(cfg, dd, tag)
         results[f"ms_per_iter_{tag}"] = round(ms, 1)
-        assert np.isfinite(float(np.asarray(state.theta.e).sum()))
+        results[f"{tag}_ns_per_nnz"] = round(ms * 1e6 / nnz, 1)
+
+    # tail-only microbench: ns per tail nonzero through the MXU sweep
+    # (VERDICT r2 #2 asks for the tail cost alone vs the ~54 ns/nnz
+    # gather-bound segment path and the 6 ns/row gather wall)
+    if ut.size:
+        import functools as _ft
+        from hgaprec_tpu.models.state import init_state as _init
+        st = _init(ModelConfig(n=n, m=m, k=K, variant="hpf"), seed=2)
+        a_lin = jnp.exp(st.theta.elog)
+        b_lin = jnp.exp(st.beta.elog)
+
+        @_ft.partial(jax.jit, static_argnames=("bf16",))
+        def tail_only(a, b, bf16=True):
+            return mxu_tail_sweep(a, b, None, None, tc, bf16=bf16)[0]
+
+        r = tail_only(a_lin, b_lin)
+        _ = fence(r)
+        t0 = time.time()
+        for _ in range(5):
+            r = tail_only(a_lin, b_lin)
+        _ = fence(r)
+        tail_ms = (time.time() - t0) / 5 * 1e3
+        results["tail_mxu_ms"] = round(tail_ms, 1)
+        results["tail_mxu_ns_per_nnz"] = round(tail_ms * 1e6 / ut.size, 1)
+        print(f"tail mxu: {tail_ms:.0f} ms "
+              f"({tail_ms * 1e6 / ut.size:.1f} ns/nnz)", flush=True)
+        del st, a_lin, b_lin, r
 
     # streamed ranking-eval timing (VERDICT r1 #5): rank 1000 heldout
     # (user, item) pairs among all M items with the device rank counter

@@ -55,11 +55,43 @@ def main():
     mask_cols[0, 0] = 2   # mask one item for user 0
     tv, ti = sharded_masked_topk(sc, run.mesh, users, mask_cols, k=5)
 
+    # --- per-host ingest: load_dataset(user_rows=host_user_rows) must ---
+    # materialize only this process's training rows, keep GLOBAL id maps,
+    # and train identically to the full-store run (the parent wrote the
+    # TSV dataset into outdir before spawning us)
+    from hgaprec_tpu.data.ratings import load_dataset
+    from hgaprec_tpu.parallel.distributed import host_user_rows
+    store_l, val_l, test_l = load_dataset(outdir, 500, 500, False, 1,
+                                          user_rows=host_user_rows)
+    store_g, val_g, _ = load_dataset(outdir, 500, 500, False, 1)
+    assert store_l.n == store_g.n and store_l.m == store_g.m  # global maps
+    assert store_l.local_user_rows is not None
+    assert store_l.nratings < store_g.nratings   # a real slice, per process
+    assert val_l == val_g                        # eval maps stay global
+
+    cfg2 = ModelConfig(n=store_g.n, m=store_g.m, k=3, variant="bpf",
+                       sweep="segment")
+    run_l = build_sharded_run(store_l, cfg2, make_mesh(), seed=7,
+                              pad_multiple=64, dense=False)
+    run_g = build_sharded_run(store_g, cfg2, make_mesh(), seed=7,
+                              pad_multiple=64, dense=False)
+    for _ in range(2):
+        run_l.step()
+        run_g.step()
+    st_l = run_l.unsharded_state()
+    st_g = run_g.unsharded_state()
+    np.testing.assert_allclose(np.asarray(st_l.theta.e),
+                               np.asarray(st_g.theta.e), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_l.beta.e),
+                               np.asarray(st_g.beta.e), rtol=1e-6)
+
     np.savez(os.path.join(outdir, f"proc{pid}.npz"),
              theta_e=np.asarray(st.theta.e),
              beta_e=np.asarray(st.beta.e),
              xi_e=np.asarray(st.theta_rate.e),
              topk_vals=tv, topk_ids=ti,
+             local_nnz=np.asarray([store_l.nratings]),
+             global_nnz=np.asarray([store_g.nratings]),
              primary=np.asarray([1 if is_primary() else 0]))
     print(f"proc {pid}: OK", flush=True)
 

@@ -34,6 +34,10 @@ def _free_port() -> int:
 
 @pytest.mark.slow
 def test_two_process_sharding(tmp_path):
+    # dataset for the per-host ingest phase of the workers
+    from hgaprec_tpu.data.synthetic import write_pf_dataset
+    write_pf_dataset(str(tmp_path), np.random.default_rng(9), 60, 25, k=3,
+                     scale=1.2)
     port = _free_port()
     env = dict(os.environ)
     # keep the TPU plugin's registration path; add repo + tests dirs
@@ -91,3 +95,9 @@ def test_two_process_sharding(tmp_path):
                                    err_msg=f"xi proc{pid}")
         saw_primary.append(int(z["primary"][0]))
     assert saw_primary == [1, 0]  # exactly process 0 is the writer
+
+    # per-host ingest: the two slices are proper subsets that tile the
+    # training stream (each process held less than the global nnz)
+    g = int(z0["global_nnz"][0])
+    l0, l1 = int(z0["local_nnz"][0]), int(z1["local_nnz"][0])
+    assert l0 < g and l1 < g and l0 + l1 == g
