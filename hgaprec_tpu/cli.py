@@ -362,9 +362,9 @@ def _dispatch(o, store, validation, test, mcfg, rcfg, tr) -> int:
         return 0
 
     if o["chi"]:
-        formats.write_chi_training_matrix(store, validation, tr.outdir,
-                                          wals=o["wals"],
-                                          wals_c=o["wals_C"])
+        minval, maxval = formats.write_chi_training_matrix(
+            store, validation, tr.outdir, wals=o["wals"],
+            wals_c=o["wals_C"])
         tool = ("nmf" if o["chinmf"] else "als" if o["als"] else
                 "wals" if o["wals"] else "climf" if o["climf"] else
                 "biassgd" if o["chisgd"] else "pmf" if o["chipmf"] else
@@ -372,7 +372,8 @@ def _dispatch(o, store, validation, test, mcfg, rcfg, tr) -> int:
         if tool:
             root = os.environ.get("GRAPHCHI_ROOT", "")
             cmd = formats.chi_command(tool, tr.outdir, mcfg.k,
-                                      graphchi_root=root or "graphchi-cpp")
+                                      graphchi_root=root or "graphchi-cpp",
+                                      minval=minval, maxval=maxval)
             print(f"+ external command: {cmd}")
             if root:
                 os.system(cmd)
@@ -409,7 +410,9 @@ def _dispatch(o, store, validation, test, mcfg, rcfg, tr) -> int:
         meta = {}
         for fname, rdr in (("movie_titles.txt",
                             readers.read_netflix_metadata),
-                           ("movies.dat", readers.read_movielens_metadata)):
+                           ("movies.dat", readers.read_movielens_metadata),
+                           ("titles.dat", readers.read_mendeley_metadata),
+                           ("nyt-titles.tsv", readers.read_nyt_metadata)):
             for base in (o["dir"], "."):
                 p = os.path.join(base, fname)
                 if os.path.exists(p):

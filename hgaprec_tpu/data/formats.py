@@ -73,9 +73,15 @@ def write_nmf_training_matrix(store: RatingsStore, path: str) -> int:
 
 def write_chi_training_matrix(store: RatingsStore, validation: CountMap,
                               outdir: str, *, wals: bool = False,
-                              wals_c: float = 10.0) -> None:
-    """MatrixMarket coordinate exports (hgaprec.cc:313-416)."""
+                              wals_c: float = 10.0):
+    """MatrixMarket coordinate exports (hgaprec.cc:313-416).
+
+    Returns (minval, maxval): the raw rating range observed while
+    writing (training + validation, hgaprec.cc:368-400 incl. the
+    minval==maxval -> maxval+1 quirk) — run_chi_nmf passes these to
+    graphchi (hgaprec.cc:632-635); the other tools hard-code theirs."""
     header = "%%MatrixMarket matrix coordinate real general\n"
+    minval, maxval = 65536, 0   # reference init (hgaprec.cc:32)
     users_t = set()
     items_t = set()
     lines_t = []
@@ -89,6 +95,7 @@ def write_chi_training_matrix(store: RatingsStore, validation: CountMap,
                                f"{1 if y > 0 else 0}\n")
             else:
                 lines_t.append(f"{n + 1} {m + 1} {y}\n")
+            minval, maxval = min(minval, y), max(maxval, y)
     users_v = set()
     items_v = set()
     lines_v = []
@@ -100,6 +107,9 @@ def write_chi_training_matrix(store: RatingsStore, validation: CountMap,
                            f"{1 if y > 0 else 0}\n")
         else:
             lines_v.append(f"{n + 1} {m + 1} {y}\n")
+        minval, maxval = min(minval, y), max(maxval, y)
+    if minval == maxval:
+        maxval += 1
     with open(os.path.join(outdir, "chifull.tsv"), "w") as f:
         f.write(header)
         f.write(f"{len(users_t | users_v)}\t{len(items_t | items_v)}\t"
@@ -114,6 +124,7 @@ def write_chi_training_matrix(store: RatingsStore, validation: CountMap,
         f.write(header)
         f.write(f"{len(users_v)}\t{len(items_v)}\t{len(lines_v)}\n")
         f.writelines(lines_v)
+    return minval, maxval
 
 
 def mm_load_rowmajor(path: str, rows: int, cols: int) -> np.ndarray:
@@ -305,7 +316,9 @@ CHI_TOOL_ARGS = {
     "pmf": ("--minval=1 --maxval=5 --max_iter=100 --pmf_burn_in=5 "
             "--allow_zeros=1 --matrixmarket=true "
             "--pmf_additional_output=1"),
-    "nmf": "--minval=1 --maxval=5 --max_iter=500",
+    # nmf's minval/maxval are dataset-dependent in the reference
+    # (hgaprec.cc:632-635) — filled in by chi_command
+    "nmf": "--minval={minval} --maxval={maxval} --max_iter=500",
 }
 
 # tools trained on the full matrix, without a --validation file
@@ -313,12 +326,17 @@ CHI_NO_VALIDATION = {"nmf", "pmf"}
 
 
 def chi_command(tool: str, outdir: str, k: int, *, graphchi_root: str,
-                extra: str = "") -> str:
+                extra: str = "", minval: int = 1, maxval: int = 5) -> str:
+    """minval/maxval: the observed rating range from
+    write_chi_training_matrix — only the nmf tool uses them
+    (hgaprec.cc:632-635); the rest hard-code their bounds."""
     base = "chifull.tsv" if tool == "nmf" else "chitrain.tsv"
     train = os.path.join(outdir, base)
     valid = os.path.join(outdir, "chivalidation.tsv")
     varg = "" if tool in CHI_NO_VALIDATION else f"--validation={valid} "
     targ = CHI_TOOL_ARGS.get(tool, "--max_iter=100")
+    if tool == "nmf":
+        targ = targ.format(minval=minval, maxval=maxval)
     return (f"cd {outdir}; GRAPHCHI_ROOT={graphchi_root} "
             f"{graphchi_root}/toolkits/collaborative_filtering/{tool} "
             f"--training={train} {varg}"

@@ -136,6 +136,23 @@ def read_netflix_metadata(path: str) -> Dict[int, Tuple[str, str]]:
     return out
 
 
+def read_mendeley_metadata(path: str) -> Dict[int, Tuple[str, str]]:
+    """titles.dat: the 0-based LINE NUMBER is the external item id
+    (read_mendeley_metadata, ratings.cc:771-790 — `id++` per line, no
+    id column in the file)."""
+    out = {}
+    with open(path, encoding="utf-8", errors="replace") as f:
+        for idx, line in enumerate(f):
+            out[idx] = (line.strip(), "")
+    return out
+
+
+def read_nyt_metadata(path: str) -> Dict[int, Tuple[str, str]]:
+    """nyt-titles.tsv as (title, genre)-shaped metadata for the
+    cold-start/explore title chain (genre slot empty)."""
+    return {k: (v, "") for k, v in read_nyt_titles(path).items()}
+
+
 def read_nyt_titles(path: str) -> Dict[int, str]:
     """nyt-titles.tsv pipe-delimited `id|title` -> {ext_id: title}
     (ratings.cc:121-152)."""

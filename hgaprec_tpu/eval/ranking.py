@@ -287,6 +287,22 @@ def gen_msr_csv(sc: Scorer, store: RatingsStore,
             ranks, tgt = item_ranks(sc, store, index, lusers, litems,
                                     limit_m=store.m - 1)
             ranks = ranks + (tgt < 0.0).astype(np.int32)
+            # Edge parity with the host path (reachable only with
+            # NEGATIVE scores — impossible for native PF factors, but
+            # chi/ctr factor imports can go negative): for target item 0
+            # with tgt < 0 the host argsort reports the phantom
+            # (item 0, score 0.0) slot — the FIRST id-0 hit, at position
+            # #{s > 0} + #{s == 0 before it} — while the counter reports
+            # the real item's rank. Clamp those (rare) rows to the
+            # host-computed phantom position.
+            sel = np.nonzero((litems == 0) & (tgt < 0.0))[0]
+            for r in sel:
+                n = int(lusers[r])
+                s_row = np.asarray(masked_user_scores(
+                    sc, store, index, np.asarray([n], np.int32)))[0]
+                s_row = s_row[:store.m - 1]
+                phantom = int(np.sum(s_row > 0.0) + np.sum(s_row == 0.0))
+                ranks[r] = min(int(ranks[r]), phantom)
             # heldout item outside the scored range never matches: rank 0
             ranks = np.where(litems >= store.m - 1, 0, ranks)
             for n, test_item, rank in zip(lusers, litems, ranks):

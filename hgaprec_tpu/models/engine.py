@@ -293,12 +293,20 @@ class Trainer:
         users = self._sampled_users
         path = os.path.join(self.outdir, "ranking.tsv") if save_ranking \
             else None
+        # Non-primary pod processes must still JOIN this call when the
+        # item-sharded top-k collective is active (eval_mesh), but they
+        # write no report files — the primary's output is the contract.
+        pfile = self._files["precision.txt"] if self.primary else None
+        if not self.primary:
+            path = None
         return rank_mod.compute_precision(
             self.scorer(), self.store, self.index, self.test, users,
-            self._files["precision.txt"], path, self.rcfg.topn_by_user,
+            pfile, path, self.rcfg.topn_by_user,
             self.eval_mesh)
 
     def compute_itemrank(self, final: bool):
+        if not self.primary:
+            return None   # host-local (no collective): primary-only work
         if self.iteration % 100 == 0 and self.iteration > 0:
             final = True
         if not final or self._sampled_users is None:
@@ -319,13 +327,16 @@ class Trainer:
         if users.size == 0:
             return
         self._sampled_users = users
-        rank_mod.compute_precision(
-            self.scorer(), self.store, self.index, self.test, users,
-            self._files["precision.txt"],
-            os.path.join(self.outdir, "ranking.tsv"),
-            self.rcfg.topn_by_user, self.eval_mesh)
-        rank_mod.compute_itemrank(self.scorer(), self.store,
-                                  self.index, users, self.outdir)
+        if self.primary or self.eval_mesh is not None:
+            rank_mod.compute_precision(
+                self.scorer(), self.store, self.index, self.test, users,
+                self._files["precision.txt"] if self.primary else None,
+                (os.path.join(self.outdir, "ranking.tsv")
+                 if self.primary else None),
+                self.rcfg.topn_by_user, self.eval_mesh)
+        if self.primary:
+            rank_mod.compute_itemrank(self.scorer(), self.store,
+                                      self.index, users, self.outdir)
 
     def compute_rmse(self) -> float:
         return rank_mod.compute_rmse(self.scorer(), self.test,
@@ -370,18 +381,29 @@ class Trainer:
         return None
 
     def report(self):
+        # every process: the validation likelihood drives the stopping
+        # rule, which must stay lockstep across a pod (deterministic on
+        # the gathered state, so no broadcast is needed)
         self.compute_likelihood(True)
         if self._stop_requested:
             return
-        self.compute_likelihood(False)
-        if not self.mcfg.mle:
-            self.save_model()
-        self.compute_precision(False)
-        if self.mcfg.variant in ("bpf", "hpf", "canny") and not self.mcfg.bias:
-            # reference: vb/vb_hier/vb_canny also run itemrank
-            self.compute_itemrank(False)
-        if self.rcfg.logl:
-            self.logl()
+        if self.primary:
+            self.compute_likelihood(False)
+            if not self.mcfg.mle:
+                self.save_model()
+        # precision joins the item-sharded top-k COLLECTIVE when
+        # eval_mesh is set — then every process must call it (it skips
+        # the file writes on non-primary); without a mesh the whole
+        # report is host-local and non-primary skips it outright
+        if self.primary or self.eval_mesh is not None:
+            self.compute_precision(False)
+        if self.primary:
+            if (self.mcfg.variant in ("bpf", "hpf", "canny")
+                    and not self.mcfg.bias):
+                # reference: vb/vb_hier/vb_canny also run itemrank
+                self.compute_itemrank(False)
+            if self.rcfg.logl:
+                self.logl()
 
     def run(self, max_iters: Optional[int] = None) -> ModelState:
         """Train until the stopping rule fires (or an iteration cap).

@@ -215,3 +215,77 @@ def test_outdir_bridge_suffixes(dataset, tmp_path):
         "n5-m4-k2-x-batch-vb-chi-wals-wl-0.1-wC-10"
     rc2 = RunConfig(datdir=".", label="x", nmf=True, write_training=True)
     assert rc2.derive_outdir(mc) == "n5-m4-k2-x-batch-vb-nmf-write-training"
+
+
+def test_cli_chi_als_roundtrip_stub(dataset, tmp_path, monkeypatch):
+    """-chi -als against a test-double graphchi binary: the stub writes
+    deterministic MatrixMarket factors, and the CLI's import/rank tail
+    (mm_load_rowmajor + rank_foreign, hgaprec.cc:478-530 semantics) must
+    produce ranking.tsv/precision.txt from them — the round trip the
+    reference drives through system() (hgaprec.cc:533-549)."""
+    import stat
+
+    root = tmp_path / "graphchi-cpp"
+    tooldir = root / "toolkits" / "collaborative_filtering"
+    tooldir.mkdir(parents=True)
+    stub = tooldir / "als"
+    stub.write_text('''#!/usr/bin/env python3
+import sys
+train = [a.split("=", 1)[1] for a in sys.argv
+         if a.startswith("--training=")][0]
+d = [int(a.split("=", 1)[1]) for a in sys.argv if a.startswith("--D=")][0]
+for side, rows in (("_U.mm", 50), ("_V.mm", 30)):
+    with open(train + side, "w") as f:
+        f.write("%%MatrixMarket matrix array real general\\n%comment\\n")
+        f.write(f"{rows} {d}\\n")
+        for r in range(rows):
+            f.write(" ".join(str(0.01 * (r + 1) * (c + 1))
+                             for c in range(d)) + "\\n")
+''')
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("GRAPHCHI_ROOT", str(root))
+
+    out = str(tmp_path / "outchi")
+    rc = cli.main(["-dir", str(dataset), "-n", "50", "-m", "30", "-k", "3",
+                   "-outdir", out, "-chi", "-als"])
+    assert rc == 0
+    # stub ran and produced factors; CLI re-imported and ranked them
+    assert os.path.exists(os.path.join(out, "chitrain.tsv_U.mm"))
+    ranking = open(os.path.join(out, "ranking.tsv")).read().splitlines()
+    assert ranking, "rank_foreign wrote no rows"
+    # deterministic stub factors: score(u,i) ~ (u+1)(i+1); per user the
+    # top-ranked unmasked item must carry the highest score column
+    first = ranking[0].split("\t")
+    assert len(first) == 4
+    prec = open(os.path.join(out, "precision.txt")).read()
+    assert prec.strip(), "precision.txt empty"
+
+
+def test_metadata_readers_all_datasets(tmp_path):
+    """Title metadata for all four dataset families (the -test/explore
+    title chain): movielens movies.dat, netflix movie_titles.txt,
+    mendeley titles.dat (line number = id, ratings.cc:771-790), and NYT
+    nyt-titles.tsv."""
+    from hgaprec_tpu.data import readers
+
+    (tmp_path / "movies.dat").write_text(
+        "1::Toy Story (1995)::Animation\n7::Sabrina (1995)::Romance\n")
+    ml = readers.read_movielens_metadata(str(tmp_path / "movies.dat"))
+    assert ml[7] == ("Sabrina (1995)", "Romance")
+
+    (tmp_path / "movie_titles.txt").write_text(
+        "118,1996,The Bird Cage\n12263,2001,Shrek\n")
+    nf = readers.read_netflix_metadata(str(tmp_path / "movie_titles.txt"))
+    assert nf[118][0] == "The Bird Cage"
+
+    (tmp_path / "titles.dat").write_text(
+        "collaborative filtering for implicit feedback\n"
+        "variational inference review\n")
+    md = readers.read_mendeley_metadata(str(tmp_path / "titles.dat"))
+    assert md[0][0].startswith("collaborative")
+    assert md[1][0] == "variational inference review"
+
+    (tmp_path / "nyt-titles.tsv").write_text(
+        "3|Op-Ed: On Things\n9|World Briefing\n")
+    ny = readers.read_nyt_metadata(str(tmp_path / "nyt-titles.tsv"))
+    assert ny[9] == ("World Briefing", "")
