@@ -67,6 +67,12 @@ class ModelConfig:
     # Dense path: item-block size for streaming the [N, M] products.
     item_block: int = 4096
     user_block: int = 8192
+    # Data-layout knobs consumed at Trainer build time (host side):
+    # catalogs whose dense uint8 matrix would exceed dense_limit_bytes
+    # get the hybrid head/tail layout with up to hybrid_head_items
+    # top-degree items in the dense head block.
+    hybrid_head_items: int = 8192
+    dense_limit_bytes: int = 10 << 30
 
     def __post_init__(self):
         if self.variant not in _VARIANTS:

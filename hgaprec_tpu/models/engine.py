@@ -99,15 +99,17 @@ class Trainer:
             # anyway (dense_y is the faster path and the head would be
             # dead weight in HBM). Explicit sweep='hybrid' always builds
             # the head regardless of m.
-            will_densify = store.n * store.m <= (10 << 30)
+            will_densify = store.n * store.m <= mcfg.dense_limit_bytes
             if mcfg.sweep == "hybrid":
-                head = 8192
+                head = mcfg.hybrid_head_items
             elif (mcfg.sweep == "auto" and store.m > 65536 and
                     not will_densify):
-                head = 8192
+                head = mcfg.hybrid_head_items
             else:
                 head = 0
-            self.data = build_device_data(store, hybrid_head_items=head)
+            self.data = build_device_data(
+                store, hybrid_head_items=head,
+                dense_limit_bytes=mcfg.dense_limit_bytes)
         self.step = make_step(mcfg)
         self.multi_step = make_multi_step(mcfg)
         self.state: ModelState = init_state(mcfg, seed=rcfg.seed)

@@ -61,22 +61,18 @@ def build_store(n, m, nnz_target, seed=11):
     return store
 
 
-def main():
+def run_shape(label, n, m, k, nnz, iters, fuse=1):
+    """Time 1..D-device sharded runs at one shape; assert parity."""
     from hgaprec_tpu.config import ModelConfig
     from hgaprec_tpu.parallel.sharded import build_sharded_run, make_mesh
 
     devices = jax.devices()
-    on_tpu = devices[0].platform == "tpu"
-    if on_tpu:
-        n, m, k, nnz, iters = 65536, 8192, 100, 4_000_000, 30
-    else:
-        n, m, k, nnz, iters = 1024, 256, 8, 30_000, 4
     store = build_store(n, m, nnz)
-    print(f"# {len(devices)}x {devices[0].device_kind}: "
+    print(f"# {label}: {len(devices)}x {devices[0].device_kind}: "
           f"N={n} M={m} K={k} nnz={store.coo_y.size}", file=sys.stderr)
-
     sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= len(devices)]
     cfg = ModelConfig(n=n, m=m, k=k, variant="hpf", sweep="dense")
+    host_cpus = os.cpu_count() or 1
 
     ref_sum = None
     results = []
@@ -95,14 +91,15 @@ def main():
         else:
             rel = abs(s - ref_sum) / abs(ref_sum)
             assert rel < 1e-4, f"{nd}-device state diverged: rel={rel}"
-        # timing (fence = host materialization of a dependent scalar)
-        run.step()
+        # timing (fence = host materialization of a dependent scalar);
+        # fuse>1 batches iterations per dispatch like the engine does
+        run.multi_step(fuse)
         _ = np.asarray(run.state.theta.e.addressable_shards[0].data)[0, 0]
         t0 = time.time()
         for _ in range(iters):
-            run.step()
+            run.multi_step(fuse)
         _ = np.asarray(run.state.theta.e.addressable_shards[0].data)[0, 0]
-        dt = (time.time() - t0) / iters
+        dt = (time.time() - t0) / (iters * fuse)
         results.append((nd, dt))
         base = results[0][1]
         eff = base / (dt * nd)
@@ -110,22 +107,45 @@ def main():
             "devices": nd, "ms_per_iter": round(dt * 1e3, 3),
             "nnz_per_sec": round(store.coo_y.size / dt),
             "scaling_efficiency": round(eff, 3),
+            # virtual CPU devices share the physical cores: efficiency
+            # cannot exceed min(cores, d)/d there no matter how good the
+            # collective layout is
+            "ideal_efficiency_bound": round(min(host_cpus, nd) / nd, 3),
             "parity": "ok"}
         records.append(rec)
         print(json.dumps(rec), flush=True)
+    return {"label": label, "n": n, "m": m, "k": k,
+            "nnz": int(store.coo_y.size), "results": records}
+
+
+def main():
+    devices = jax.devices()
+    on_tpu = devices[0].platform == "tpu"
+    shapes = []
+    if on_tpu:
+        shapes.append(run_shape("tpu", 65536, 8192, 100, 4_000_000, 30))
+    else:
+        # ML-1M preset (run.pl:109-112): compute-dominated — the
+        # efficiency number is a statement about the algorithm's
+        # communication structure, bounded by the physical core count
+        shapes.append(run_shape("ml1m", 6040, 3681, 100, 1_000_000,
+                                iters=2, fuse=5))
+        # tiny shape kept as the collective-layout smoke test
+        shapes.append(run_shape("tiny-smoke", 1024, 256, 8, 30_000,
+                                iters=4))
 
     out = os.path.join(ROOT, ".bench_cache", "scaling.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     json.dump({
         "platform": devices[0].platform,
         "device_kind": devices[0].device_kind,
-        "note": ("virtual CPU devices share the host's physical cores, "
-                 "so efficiency there is a lower bound; the artifact's "
-                 "point on CPU is the parity assertion + collective "
-                 "layout" if not on_tpu else
+        "host_physical_cpus": os.cpu_count(),
+        "note": ("virtual CPU devices share the host's physical cores; "
+                 "compare scaling_efficiency against "
+                 "ideal_efficiency_bound = min(cores, d)/d — parity is "
+                 "asserted at every mesh size" if not on_tpu else
                  "real multi-chip ICI scaling"),
-        "n": n, "m": m, "k": k, "nnz": int(store.coo_y.size),
-        "results": records,
+        "shapes": shapes,
     }, open(out, "w"), indent=1)
     print(f"# wrote {out}", file=sys.stderr)
 

@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Decompose the big-sparse hybrid step cost on TPU.
+
+The r3 EchoNest artifact showed ~3 s/iter for BOTH hybrid tails at only
+7.5M tail nonzeros (~400 ns/nnz) — far above the r2 segment path's
+54 ns/nnz — and the itemrank eval regressed 1.8x on unchanged math, so
+this probe times each primitive in isolation to separate code effects
+from data-distribution effects from chip/tunnel state:
+
+  gather / scatter-add / sorted segment_sum at tail scale,
+  the old one-pass chunked tail, the MXU tail at several chunk sizes,
+  an unchunked compact segment tail, and the fused dense head alone.
+
+Usage: python scripts/tail_probe.py [tail_nnz_millions]
+"""
+
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(ROOT, ".jax_cache"))
+
+N, M, K = 1019318, 384546, 100
+T_HEAD = 6144
+
+
+def fence(x):
+    return np.asarray(jax.tree.leaves(x)[0]).ravel()[0]
+
+
+def timed(label, fn, *args, iters=3):
+    r = fn(*args)
+    fence(r)
+    t0 = time.time()
+    for _ in range(iters):
+        r = fn(*args)
+    fence(r)
+    dt = (time.time() - t0) / iters
+    print(f"{label:36s} {dt * 1e3:9.1f} ms", flush=True)
+    return dt
+
+
+def main():
+    nnz_m = float(sys.argv[1]) if len(sys.argv) > 1 else 7.5
+    p = int(nnz_m * 1e6)
+    rng = np.random.default_rng(7)
+    # tail-shaped stream: user-sorted, zipf-ish items beyond the head
+    u = np.sort(rng.integers(0, N, p)).astype(np.int32)
+    i = np.minimum(T_HEAD + rng.zipf(1.4, p) - 1, M - 1).astype(np.int32)
+    y = rng.integers(1, 5, p).astype(np.float32)
+
+    a_lin = jnp.asarray(rng.random((N, K), np.float32) + 0.1)
+    b_lin = jnp.asarray(rng.random((M, K), np.float32) + 0.1)
+    ud, idv, yd = jnp.asarray(u), jnp.asarray(i), jnp.asarray(y)
+
+    # --- primitive rates --------------------------------------------------
+    timed("gather a[u] rows (sum)",
+          jax.jit(lambda t, ix: jnp.sum(t[ix], dtype=jnp.float32)),
+          a_lin, ud)
+    timed("gather b[i] rows (sum)",
+          jax.jit(lambda t, ix: jnp.sum(t[ix], dtype=jnp.float32)),
+          b_lin, idv)
+
+    ph = jnp.ones((p, K), jnp.float32)
+
+    @jax.jit
+    def scat(ph_, ix):
+        return jnp.zeros((M, K), jnp.float32).at[ix].add(ph_)
+
+    timed("scatter-add ph -> [M,K]", scat, ph, idv)
+
+    @jax.jit
+    def segsum(ph_, ix):
+        return jax.ops.segment_sum(ph_, ix, num_segments=N,
+                                   indices_are_sorted=True)
+
+    timed("sorted segment_sum ph -> [N,K]", segsum, ph, ud)
+    del ph
+
+    # --- tail paths ---------------------------------------------------------
+    from hgaprec_tpu.ops.sweep import _segment_onepass_lin
+    from hgaprec_tpu.ops.mxu_tail import build_tail_compact, mxu_tail_sweep
+
+    for chunk_m in (1 << 20, 4 << 20):
+        f = jax.jit(lambda a, b, u_, i_, y_, c=chunk_m:
+                    _segment_onepass_lin(a, b, None, None, u_, i_, y_, c)
+                    .acc_a)
+        timed(f"one-pass segment chunk={chunk_m >> 20}M", f,
+              a_lin, b_lin, ud, idv, yd)
+
+    tc = build_tail_compact(u, i, y)
+    print(f"compact: NA={tc.users.shape[0]} MT={tc.items.shape[0]}",
+          flush=True)
+    for chunk in (1024, 4096):
+        f = jax.jit(lambda a, b, t=tc, c=chunk:
+                    mxu_tail_sweep(a, b, None, None, t, chunk=c, bf16=True)
+                    [0])
+        timed(f"mxu tail chunk={chunk} bf16", f, a_lin, b_lin)
+
+    # unchunked compact segment: materialize ph once at tail scale
+    na, mt = tc.users.shape[0], tc.items.shape[0]
+
+    @jax.jit
+    def unchunked(a, b):
+        at = a[tc.users]
+        bt = b[tc.items]
+        av = at[tc.cu]
+        bv = bt[tc.ci]
+        prod = av * bv
+        s = jnp.sum(prod, axis=1)
+        w = jnp.where(tc.y > 0, tc.y / jnp.maximum(s, 1e-30), 0.0)
+        ph_ = w[:, None] * prod
+        acc_a = jax.ops.segment_sum(ph_, tc.cu, num_segments=na,
+                                    indices_are_sorted=True)
+        acc_b = jnp.zeros((mt, K), jnp.float32).at[tc.ci].add(ph_)
+        return acc_a, acc_b
+
+    timed("unchunked compact segment", unchunked, a_lin, b_lin)
+
+    # --- fused dense head alone ---------------------------------------------
+    from hgaprec_tpu.ops.dense_pallas import fused_dense_sweep
+    npad = -(-N // 512) * 512
+    hd = jnp.zeros((npad, T_HEAD), jnp.uint8)  # zeros: W=0, same traffic
+    bh = b_lin[:T_HEAD]
+    f = jax.jit(lambda a, b, yh: fused_dense_sweep(a, b, yh, bf16=True)[0])
+    timed(f"fused dense head [{npad}x{T_HEAD}]", f, a_lin, bh, hd)
+
+
+if __name__ == "__main__":
+    main()
