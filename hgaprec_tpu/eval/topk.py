@@ -83,7 +83,7 @@ def masked_topk(sc: Scorer, store, index, users: np.ndarray, k: int = 100,
         masks.append(np.union1d(store.items_of_user(n),
                                 index.val_items(n)).astype(np.int64))
     d = max((m.size for m in masks), default=1)
-    d = max(d, 1)
+    d = -(-max(d, 1) // 64) * 64    # stable shape across calls
     mask_cols = np.full((len(users), d), -(10 ** 9), np.int32)
     for r, mk in enumerate(masks):
         mask_cols[r, :mk.size] = mk
@@ -179,6 +179,9 @@ def item_ranks(sc: Scorer, store, index, users: np.ndarray,
                             index.val_items(int(n))).astype(np.int64)
                  for n in uu]
         d = max(max((mk.size for mk in masks), default=1), 1)
+        # pad the mask width to a 64-multiple: d varies per pair chunk
+        # and each distinct width would retrace/recompile the jitted scan
+        d = -(-d // 64) * 64
         mask_cols = np.full((len(uu), d), -(10 ** 9), np.int32)
         for r, mk in enumerate(masks):
             mask_cols[r, :mk.size] = mk

@@ -102,8 +102,11 @@ class Trainer:
             will_densify = store.n * store.m <= mcfg.dense_limit_bytes
             if mcfg.sweep == "hybrid":
                 head = mcfg.hybrid_head_items
-            elif (mcfg.sweep == "auto" and store.m > 65536 and
-                    not will_densify):
+            elif mcfg.sweep == "auto" and not will_densify:
+                # any catalog too wide to densify: head/tail hybrid
+                # (scatter-free MXU tail); build_device_data falls back
+                # to no head when the byte budget can't fit 512 columns,
+                # and _resolve_mode then picks the segment sweep
                 head = mcfg.hybrid_head_items
             else:
                 head = 0

@@ -1,27 +1,36 @@
-"""MXU-native sparse CAVI sweep for the big-sparse tail.
+"""MXU-native, scatter-free sparse CAVI sweep for the big-sparse tail.
 
-The chunked segment sweep (ops/sweep.py::_segment_onepass_lin) is
-gather-LATENCY-bound on TPU: ~6 ns per gathered factor row regardless of
-row width (scripts/gather_probe.py), and it spends ~4 row-ops per
-nonzero (two gathers, one segment-sum, one scatter) -> ~54 ns/nnz
-measured at EchoNest/NYT scale. This module re-expresses the sweep so
-that three of those four row-ops become MXU matmuls and contiguous DMA
-slabs, leaving ONE true gather per nonzero:
+The chunked segment sweep (ops/sweep.py::_segment_onepass_lin) is bound
+by its item-side scatter-add on TPU: XLA lowers `acc.at[ids].add(rows)`
+to a serialized per-row update whose cost explodes when ids collide —
+and real click/play catalogs are exactly that (zipf-like item
+popularity; the reference's own marg.R fits NB marginals). Measured at
+EchoNest-preset scale with zipf(1.2) items, the scatter pushes the
+segment path to ~156 ns/nnz and a scatter-per-chunk variant of this
+module's first design to ~760 ns/nnz on the tail.
+
+This module removes EVERY scatter and segment-sum from the sweep by
+running TWO symmetric passes over compact-id streams, one per sort
+order:
 
   * ids are COMPACTED host-side (build_tail_compact): users that appear
-    in the stream get dense ids 0..NA-1, items 0..MT-1. Because compact
-    ids of a user-sorted stream increase by at most 1 per distinct user,
-    any chunk of C nonzeros spans < C compact user rows — so the user
-    rows a chunk needs are a CONTIGUOUS slab A[u0:u0+C], fetched with
-    one dynamic-slice DMA (bandwidth-bound, not latency-bound).
-  * the per-nonzero row selection within the slab is a one-hot matmul:
-    G[j, r] = [cu[j] - u0 == r], ag = G @ slab — MXU work, ~2*C*Kp
-    flops/nnz (~3 ns at C=1024, Kp=128).
-  * the user-side shape accumulation is the transpose matmul
-    G^T @ (y*phi) added into the accumulator slab in place.
-  * the item side keeps one scatter-add (items of a user-sorted chunk
-    are not contiguous) and the opposite-factor rows keep one gather —
-    the irreducible latency cost.
+    in the stream get dense ids 0..NA-1, items 0..MT-1, and the stream
+    is kept in BOTH sort orders (user-sorted and item-sorted).
+  * sorted compact ids increase by at most 1 per entry, so any chunk of
+    C nonzeros spans < C compact rows of the sorted side's factor
+    table. The per-chunk reduction onto that side is therefore a
+    one-hot TRANSPOSE MATMUL onto a contiguous row window:
+        contrib = G^T @ (y*phi),  G[j, r] = [ids[j] - ids[0] == r]
+    accumulated with a dynamic_update_slice read-modify-write — MXU
+    work plus contiguous DMA, no scatter, exact f32 dot-product sums.
+  * pass 1 (user-sorted) accumulates the user side; pass 2 (item-sorted)
+    accumulates the item side. Both passes gather the two factor rows
+    per nonzero (the irreducible ~6 ns/row latency cost,
+    scripts/gather_probe.py) and recompute identical w = y / s — the
+    gathered bf16/f32 row values are bitwise the same in both orders,
+    so the two passes see the same phi.
+  * chunks are processed R at a time per lax.scan step (a batched
+    einsum reduction) so per-step sequencing overhead amortizes.
 
 Bias terms ride the same matmuls via two augmented columns:
   a_hat = [A | ba | 1],  b_hat = [B | 1 | bb]
@@ -37,7 +46,6 @@ tests/test_mxu_tail.py).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -46,21 +54,28 @@ import numpy as np
 from jax import lax
 
 LANE = 128
-DEF_CHUNK = 1024
+DEF_CHUNK = 512    # nonzeros per one-hot reduction block
+DEF_BATCH = 64     # chunks per lax.scan step (batched einsum); measured
+                   # best on v5e at EchoNest tail shape (57 ns/nnz vs
+                   # 74 at R=32, 70 at C=1024/R=16)
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class TailCompact:
-    """Compact-id COO stream for the MXU tail sweep (host-built).
+    """Compact-id COO stream in both sort orders (host-built).
 
-    cu/ci are compact ids into `users`/`items`; padding entries repeat
-    the last real compact id (keeping the span-<C invariant) and carry
-    y = 0 so they contribute nothing.
+    cu/ci index into `users`/`items`; padding entries repeat the last
+    real compact id (keeping the span-<C invariant) and carry y = 0 so
+    they contribute nothing. (cu, ci, y) is user-sorted;
+    (cu_i, ci_i, y_i) is the same stream item-sorted.
     """
     cu: jax.Array        # i32[PT] compact user id per nonzero, sorted
     ci: jax.Array        # i32[PT] compact item id per nonzero
     y: jax.Array         # f32[PT] counts (0 on padding)
+    cu_i: jax.Array      # i32[PT] compact user id, item-sorted order
+    ci_i: jax.Array      # i32[PT] compact item id, sorted
+    y_i: jax.Array       # f32[PT]
     users: jax.Array     # i32[NA] active user ids (sorted)
     items: jax.Array     # i32[MT] active item ids (sorted)
 
@@ -73,15 +88,23 @@ def build_tail_compact(u: np.ndarray, i: np.ndarray, y: np.ndarray,
         return None
     users, cu = np.unique(u, return_inverse=True)
     items, ci = np.unique(i, return_inverse=True)
+    cu = cu.astype(np.int32)
+    ci = ci.astype(np.int32)
+    yf = y.astype(np.float32)
+    order = np.argsort(ci, kind="stable")
     pt = -(-u.size // pad_multiple) * pad_multiple
     pad = pt - u.size
-    j = jnp.asarray
+
+    def padded(x, fill):
+        return jnp.asarray(np.concatenate([x, np.full(pad, fill, x.dtype)]))
+
     return TailCompact(
-        cu=j(np.concatenate([cu, np.full(pad, cu[-1])]).astype(np.int32)),
-        ci=j(np.concatenate([ci, np.full(pad, ci[-1])]).astype(np.int32)),
-        y=j(np.concatenate([y.astype(np.float32), np.zeros(pad, np.float32)])),
-        users=j(users.astype(np.int32)),
-        items=j(items.astype(np.int32)),
+        cu=padded(cu, cu[-1]), ci=padded(ci, ci[-1]), y=padded(yf, 0.0),
+        cu_i=padded(cu[order], cu[order][-1]),
+        ci_i=padded(ci[order], ci[order][-1]),
+        y_i=padded(yf[order], 0.0),
+        users=jnp.asarray(users.astype(np.int32)),
+        items=jnp.asarray(items.astype(np.int32)),
     )
 
 
@@ -98,14 +121,65 @@ def _augment(x: jax.Array, col_a: Optional[jax.Array],
     return x
 
 
+def _half_sweep(p_t: jax.Array, o_t: jax.Array, pc: jax.Array,
+                oc: jax.Array, y: jax.Array, *, chunk: int, batch: int,
+                mm_dtype, prec) -> jax.Array:
+    """Accumulate y*phi onto the SORTED (primary) side of a compact
+    stream. p_t: [NP, kp] primary factor table (the side pc is sorted
+    by); o_t: [NO, kp] other side; pc/oc/y: the stream. Returns
+    f32[NP + chunk, kp] (padded window; caller slices [:NP])."""
+    np_rows, kp = p_t.shape
+    pt = pc.shape[0]
+    mega = chunk * batch
+    ptm = -(-pt // mega) * mega
+    if ptm != pt:
+        ext = ptm - pt
+        pc = jnp.concatenate([pc, jnp.broadcast_to(pc[-1], (ext,))])
+        oc = jnp.concatenate([oc, jnp.broadcast_to(oc[-1], (ext,))])
+        y = jnp.concatenate([y, jnp.zeros((ext,), y.dtype)])
+    steps = ptm // mega
+    pc_r = pc.reshape(steps, batch, chunk)
+    oc_r = oc.reshape(steps, batch, chunk)
+    y_r = y.reshape(steps, batch, chunk)
+
+    iota_c = lax.broadcasted_iota(jnp.int32, (1, 1, chunk), 2)
+
+    def body(acc, xs):
+        pcm, ocm, ym = xs                     # [R, C]
+        pg = p_t[pcm].astype(jnp.float32)     # [R, C, kp] gather
+        og = o_t[ocm].astype(jnp.float32)     # [R, C, kp] gather
+        prod = pg * og
+        s = jnp.sum(prod, axis=2)             # = A.B + ba + bb (aug cols)
+        w = ym / jnp.maximum(s, 1e-30)        # y == 0 rows give w == 0
+        ph = w[:, :, None] * prod             # y * phi, [R, C, kp]
+        u0 = pcm[:, 0]                        # [R]
+        g = (pcm[:, :, None] - u0[:, None, None] == iota_c
+             ).astype(mm_dtype)               # [R, C, C] one-hot
+        contrib = jnp.einsum(
+            "rjc,rjk->rck", g, ph.astype(mm_dtype),
+            preferred_element_type=jnp.float32,
+            precision=prec)                   # [R, C, kp] segment sums
+
+        def upd(r, a):
+            cur = lax.dynamic_slice(a, (u0[r], 0), (chunk, kp))
+            return lax.dynamic_update_slice(a, cur + contrib[r],
+                                            (u0[r], 0))
+
+        return lax.fori_loop(0, batch, upd, acc), None
+
+    init = jnp.zeros((np_rows + chunk, kp), jnp.float32)
+    acc, _ = lax.scan(body, init, (pc_r, oc_r, y_r))
+    return acc
+
+
 def mxu_tail_sweep(a_lin: jax.Array, b_lin: jax.Array,
                    ba_lin: Optional[jax.Array],
                    bb_lin: Optional[jax.Array],
                    tc: TailCompact, *, chunk: int = DEF_CHUNK,
-                   bf16: bool = False
+                   batch: int = DEF_BATCH, bf16: bool = False
                    ) -> Tuple[jax.Array, jax.Array,
                               Optional[jax.Array], Optional[jax.Array]]:
-    """One sweep over the compact stream.
+    """One sweep over the compact stream, both sides, scatter-free.
 
     a_lin/b_lin: f32[N, K]/[M, K] linear-space expectations (exp Elog);
     ba_lin/bb_lin: optional f32[N]/[M] bias expectations. Returns
@@ -122,69 +196,33 @@ def mxu_tail_sweep(a_lin: jax.Array, b_lin: jax.Array,
     mt = tc.items.shape[0]
     mm_dtype = jnp.bfloat16 if bf16 else jnp.float32
     prec = None if bf16 else lax.Precision.HIGHEST
+    batch = max(1, min(batch, -(-tc.cu.shape[0] // chunk)))
 
-    # compact factor tables, bias-augmented, lane-padded
+    # compact factor tables, bias-augmented, lane-padded. Gathered row
+    # values are identical in both passes, so phi is too.
     ones_a = jnp.ones((na,), a_lin.dtype) if bias else None
     ones_b = jnp.ones((mt,), b_lin.dtype) if bias else None
     a_t = _augment(a_lin[tc.users],
                    ba_lin[tc.users] if bias else None, ones_a, kp)
     b_t = _augment(b_lin[tc.items], ones_b,
                    bb_lin[tc.items] if bias else None, kp)
-    a_t = jnp.pad(a_t, ((0, chunk), (0, 0))).astype(mm_dtype)  # slab bounds
+    a_t = a_t.astype(mm_dtype)
     b_t = b_t.astype(mm_dtype)
 
-    # re-pad the stream to a chunk multiple (repeating the last compact
-    # ids preserves both sortedness and the span-<chunk invariant)
-    pt = tc.cu.shape[0]
-    ptc = -(-pt // chunk) * chunk
-    if ptc != pt:
-        ext = ptc - pt
-        cu = jnp.concatenate([tc.cu, jnp.broadcast_to(tc.cu[-1], (ext,))])
-        ci = jnp.concatenate([tc.ci, jnp.broadcast_to(tc.ci[-1], (ext,))])
-        yy = jnp.concatenate([tc.y, jnp.zeros((ext,), tc.y.dtype)])
-    else:
-        cu, ci, yy = tc.cu, tc.ci, tc.y
-    nc = ptc // chunk
-    cu_r = cu.reshape(nc, chunk)
-    ci_r = ci.reshape(nc, chunk)
-    y_r = yy.reshape(nc, chunk)
+    hs = dict(chunk=chunk, batch=batch, mm_dtype=mm_dtype, prec=prec)
+    acc_a_c = _half_sweep(a_t, b_t, tc.cu, tc.ci, tc.y, **hs)
+    acc_b_c = _half_sweep(b_t, a_t, tc.ci_i, tc.cu_i, tc.y_i, **hs)
 
-    iota_c = lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-
-    def body(carry, xs):
-        acc_a, acc_b = carry
-        cu_c, ci_c, y_c = xs
-        u0 = cu_c[0]
-        slab = lax.dynamic_slice(a_t, (u0, 0), (chunk, kp))   # DMA, contig
-        g = (cu_c[:, None] - u0 == iota_c).astype(mm_dtype)   # [C, C] 0/1
-        ag = jnp.dot(g, slab, preferred_element_type=jnp.float32,
-                     precision=prec)                          # "gather"
-        bg = b_t[ci_c].astype(jnp.float32)                    # true gather
-        prod = ag * bg                                        # [C, kp] f32
-        s = jnp.sum(prod, axis=1)          # = A.B + ba + bb (aug cols)
-        w = jnp.where(y_c > 0, y_c / jnp.maximum(s, 1e-30), 0.0)
-        ph = w[:, None] * prod                                # y * phi
-        contrib = jnp.dot(g.T, ph.astype(mm_dtype),
-                          preferred_element_type=jnp.float32,
-                          precision=prec)                     # segment sum
-        cur = lax.dynamic_slice(acc_a, (u0, 0), (chunk, kp))
-        acc_a = lax.dynamic_update_slice(acc_a, cur + contrib, (u0, 0))
-        acc_b = acc_b.at[ci_c].add(ph)
-        return (acc_a, acc_b), None
-
-    init = (jnp.zeros((na + chunk, kp), jnp.float32),
-            jnp.zeros((mt, kp), jnp.float32))
-    (acc_a_c, acc_b_c), _ = lax.scan(body, init, (cu_r, ci_r, y_r))
-
-    # scatter compact accumulators back to full index space
+    # expand compact accumulators to full index space (unique-index set)
     acc_a = jnp.zeros((n, k), jnp.float32).at[tc.users].set(
-        acc_a_c[:na, :k])
+        acc_a_c[:na, :k], unique_indices=True, indices_are_sorted=True)
     acc_b = jnp.zeros((m, k), jnp.float32).at[tc.items].set(
-        acc_b_c[:, :k])
+        acc_b_c[:mt, :k], unique_indices=True, indices_are_sorted=True)
     if bias:
         acc_ba = jnp.zeros((n,), jnp.float32).at[tc.users].set(
-            acc_a_c[:na, k])
+            acc_a_c[:na, k], unique_indices=True, indices_are_sorted=True)
         acc_bb = jnp.zeros((m,), jnp.float32).at[tc.items].set(
-            acc_b_c[:, k + 1])
+            acc_b_c[:mt, k + 1], unique_indices=True,
+            indices_are_sorted=True)
         return acc_a, acc_b, acc_ba, acc_bb
     return acc_a, acc_b, None, None
