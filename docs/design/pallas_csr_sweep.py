@@ -1,4 +1,23 @@
-"""Fused Pallas TPU kernel for the sparse CAVI sweep.
+"""DESIGN NOTE (not shipped): fused Pallas CSR kernel for the sparse
+CAVI sweep.
+
+Status: retired from the package after two rounds as hardware-dead
+speculative code. It is correct under the Pallas interpreter (it was
+covered by tests/test_pallas_sweep.py until it moved here), but cannot
+lower on TPU v5e, where `tpu.dynamic_gather` only shuffles within one
+(8, 128) tile — the vectorized VMEM row-gathers at its core have no v5e
+lowering. The production sparse path is now `ops/mxu_tail.py`: a
+scatter-free two-pass formulation at the XLA level (compact-id sorted
+streams + batched one-hot transpose matmuls) that achieves the same
+goal — no scatter, MXU reductions — with ops XLA can always lower.
+This file stays as the blueprint for a future single-pass Pallas kernel
+on hardware/toolchains with cross-tile gathers (its chunk-local
+cumsum + boundary-gather segment reduction remains the right in-VMEM
+trick there).
+
+Original header follows.
+
+Fused Pallas TPU kernel for the sparse CAVI sweep.
 
 The reference hot loop (hgaprec.cc:928-941) touches each nonzero once:
 phi = softmax(Elog theta[u] + Elog beta[i]), scaled by y, accumulated into
