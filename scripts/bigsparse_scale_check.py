@@ -65,7 +65,11 @@ def build_coo(n, m, nnz, seed=5):
 
 
 def fence(x):
-    return np.asarray(jax.tree.leaves(x)[0]).ravel()[0]
+    # device-side slice FIRST, then a 4-byte host transfer. np.asarray
+    # on the full array pulls it over the axon tunnel at ~80 MB/s — a
+    # 400 MB accumulator adds ~5 s to the timing block, which is what
+    # poisoned every r3 big-sparse measurement (scripts/dense_bisect.py)
+    return float(jnp.ravel(jax.tree.leaves(x)[0])[0])
 
 
 def time_mode(cfg, data, label, iters=5):

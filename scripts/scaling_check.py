@@ -61,8 +61,13 @@ def build_store(n, m, nnz_target, seed=11):
     return store
 
 
-def run_shape(label, n, m, k, nnz, iters, fuse=1):
-    """Time 1..D-device sharded runs at one shape; assert parity."""
+def run_shape(label, n, m, k, nnz, iters, fuse=1, repeats=3):
+    """Time 1..D-device sharded runs at one shape; assert parity.
+
+    Each mesh size is timed `repeats` times and the MINIMUM per-iter
+    time is reported (ADVICE r3: iters=2 single-shot timings made the
+    published curve noise-dominated — min-of-repeats is stable against
+    scheduler jitter on the 2-core CI host)."""
     from hgaprec_tpu.config import ModelConfig
     from hgaprec_tpu.parallel.sharded import build_sharded_run, make_mesh
 
@@ -95,16 +100,21 @@ def run_shape(label, n, m, k, nnz, iters, fuse=1):
         # fuse>1 batches iterations per dispatch like the engine does
         run.multi_step(fuse)
         _ = np.asarray(run.state.theta.e.addressable_shards[0].data)[0, 0]
-        t0 = time.time()
-        for _ in range(iters):
-            run.multi_step(fuse)
-        _ = np.asarray(run.state.theta.e.addressable_shards[0].data)[0, 0]
-        dt = (time.time() - t0) / (iters * fuse)
+        samples = []
+        for _ in range(repeats):
+            t0 = time.time()
+            for _ in range(iters):
+                run.multi_step(fuse)
+            _ = np.asarray(
+                run.state.theta.e.addressable_shards[0].data)[0, 0]
+            samples.append((time.time() - t0) / (iters * fuse))
+        dt = min(samples)
         results.append((nd, dt))
         base = results[0][1]
         eff = base / (dt * nd)
         rec = {
             "devices": nd, "ms_per_iter": round(dt * 1e3, 3),
+            "ms_per_iter_samples": [round(s * 1e3, 3) for s in samples],
             "nnz_per_sec": round(store.coo_y.size / dt),
             "scaling_efficiency": round(eff, 3),
             # virtual CPU devices share the physical cores: efficiency
@@ -146,7 +156,9 @@ def main():
                  "asserted at every mesh size" if not on_tpu else
                  "real multi-chip ICI scaling"),
         "shapes": shapes,
-    }, open(out, "w"), indent=1)
+    }, (fh := open(out, "w")), indent=1)
+    fh.write("\n")
+    fh.close()
     print(f"# wrote {out}", file=sys.stderr)
 
 

@@ -32,7 +32,11 @@ T_HEAD = 6144
 
 
 def fence(x):
-    return np.asarray(jax.tree.leaves(x)[0]).ravel()[0]
+    # device-side slice FIRST, then a 4-byte host transfer. np.asarray
+    # on the full array pulls it over the axon tunnel at ~80 MB/s — a
+    # 400 MB accumulator adds ~5 s to the timing block, which is what
+    # poisoned every r3 big-sparse measurement (scripts/dense_bisect.py)
+    return float(jnp.ravel(jax.tree.leaves(x)[0])[0])
 
 
 def timed(label, fn, *args, iters=3):
@@ -103,6 +107,33 @@ def main():
                     mxu_tail_sweep(a, b, None, None, t, chunk=c, bf16=True)
                     [0])
         timed(f"mxu tail chunk={chunk} bf16", f, a_lin, b_lin)
+
+    # half-sweep decomposition: which side pays, and does the one-hot
+    # einsum or the windowed local segment_sum win per half?
+    from hgaprec_tpu.ops.mxu_tail import (_augment, _half_sweep,
+                                          _half_sweep_segsum)
+    import jax.numpy as jnp_
+    na, mt = tc.users.shape[0], tc.items.shape[0]
+    kp = 128
+    a_t = _augment(a_lin[tc.users], None, None, kp).astype(jnp_.bfloat16)
+    b_t = _augment(b_lin[tc.items], None, None, kp).astype(jnp_.bfloat16)
+    for label, fn, args in (
+        ("half onehot user-side", _half_sweep,
+         (a_t, b_t, tc.cu, tc.ci, tc.y)),
+        ("half onehot item-side", _half_sweep,
+         (b_t, a_t, tc.ci_i, tc.cu_i, tc.y_i)),
+    ):
+        f = jax.jit(lambda p, o, pc, oc, yy, fn=fn: fn(
+            p, o, pc, oc, yy, chunk=512, batch=64,
+            mm_dtype=jnp_.bfloat16, prec=None))
+        timed(label, f, *args)
+    for chunk in (4096, 32768):
+        f = jax.jit(lambda p, o, pc, oc, yy, c=chunk: _half_sweep_segsum(
+            p, o, pc, oc, yy, chunk=c, mm_dtype=jnp_.bfloat16, prec=None))
+        timed(f"half segsum user-side c={chunk}", f,
+              a_t, b_t, tc.cu, tc.ci, tc.y)
+        timed(f"half segsum item-side c={chunk}", f,
+              b_t, a_t, tc.ci_i, tc.cu_i, tc.y_i)
 
     # unchunked compact segment: materialize ph once at tail scale
     na, mt = tc.users.shape[0], tc.items.shape[0]
