@@ -1,13 +1,15 @@
 """MXU-native, scatter-free sparse CAVI sweep for the big-sparse tail.
 
-The chunked segment sweep (ops/sweep.py::_segment_onepass_lin) is bound
-by its item-side scatter-add on TPU: XLA lowers `acc.at[ids].add(rows)`
-to a serialized per-row update whose cost explodes when ids collide —
-and real click/play catalogs are exactly that (zipf-like item
-popularity; the reference's own marg.R fits NB marginals). Measured at
-EchoNest-preset scale with zipf(1.2) items, the scatter pushes the
-segment path to ~156 ns/nnz and a scatter-per-chunk variant of this
-module's first design to ~760 ns/nnz on the tail.
+The chunked segment sweep (ops/sweep.py::_segment_onepass_lin) pays an
+item-side scatter-add plus a full [N, K] segment-sum materialization
+per nonzero chunk. Measured honestly on v5e (scripts/tail_probe.py
+with scalar fences — the r3 numbers quoted here previously were
+poisoned by full-array host transfers in the timing fence, see
+scripts/dense_bisect.py): at EchoNest-preset tail scale (7.5M nnz,
+zipf(1.4) items) the one-pass segment sweep runs at ~41 ns/nnz while
+this module's two-pass one-hot sweep runs at ~23 ns/nnz — within ~2x
+of the irreducible 2x2 factor-row gathers (~13 ns/nnz), and scatter-
+free, which also keeps it deterministic per compile.
 
 This module removes EVERY scatter and segment-sum from the sweep by
 running TWO symmetric passes over compact-id streams, one per sort
@@ -54,10 +56,12 @@ import numpy as np
 from jax import lax
 
 LANE = 128
-DEF_CHUNK = 512    # nonzeros per one-hot reduction block
-DEF_BATCH = 64     # chunks per lax.scan step (batched einsum); measured
-                   # best on v5e at EchoNest tail shape (57 ns/nnz vs
-                   # 74 at R=32, 70 at C=1024/R=16)
+DEF_CHUNK = 1024   # nonzeros per one-hot reduction block
+DEF_BATCH = 64     # chunks per lax.scan step (batched einsum). v5e
+                   # sweep at EchoNest tail shape (7.5M nnz, zipf(1.4)):
+                   # 23.0 ns/nnz at C=1024/R={32,64}, 24.7 at C=512,
+                   # 22.8 at C=2048/R=16 — flat; C=1024 keeps the
+                   # [R, C, C] one-hot block at 8 MB bf16
 
 
 @jax.tree_util.register_dataclass

@@ -276,9 +276,12 @@ def main():
     results["itemrank_1000pairs_warm_s"] = round(dt, 2)
     assert int(ranks.min()) >= 0 and int(ranks.max()) < m
 
+    results["device_kind"] = jax.devices()[0].device_kind
     out = os.path.join(ROOT, ".bench_cache", f"{preset}_scale.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
-    json.dump(results, open(out, "w"), indent=1)
+    with open(out, "w") as fh:
+        json.dump(results, fh, indent=1)
+        fh.write("\n")
     print(json.dumps(results), flush=True)
 
 
