@@ -164,55 +164,21 @@ def _half_sweep(p_t: jax.Array, o_t: jax.Array, pc: jax.Array,
             preferred_element_type=jnp.float32,
             precision=prec)                   # [R, C, kp] segment sums
 
+        # Per-chunk accumulator read-modify-writes. Variants measured
+        # slower on v5e at EchoNest tail shape (see scripts/tail_probe
+        # and git history): one mega-window slice per scan step with the
+        # RMW chain inside (400 vs 371 ms — XLA keeps the window in HBM
+        # so the big slice only adds traffic), a merged user+item scan
+        # (388 — no cross-chain overlap materializes), a windowed
+        # contiguous primary-side fetch with one-hot expand (206-213 per
+        # half vs 190 — the expand matmul eats the saved gather), and a
+        # local sorted segment_sum reduction (181-288 per half).
         def upd(r, a):
             cur = lax.dynamic_slice(a, (u0[r], 0), (chunk, kp))
             return lax.dynamic_update_slice(a, cur + contrib[r],
                                             (u0[r], 0))
 
         return lax.fori_loop(0, batch, upd, acc), None
-
-    init = jnp.zeros((np_rows + chunk, kp), jnp.float32)
-    acc, _ = lax.scan(body, init, (pc_r, oc_r, y_r))
-    return acc
-
-
-def _half_sweep_segsum(p_t: jax.Array, o_t: jax.Array, pc: jax.Array,
-                       oc: jax.Array, y: jax.Array, *, chunk: int,
-                       mm_dtype, prec) -> jax.Array:
-    """Windowed-accumulator half sweep via local sorted segment_sum.
-
-    Same contract as _half_sweep, but the per-chunk reduction onto the
-    sorted side uses jax.ops.segment_sum with chunk-local ids
-    (pc - pc[0], all < chunk since sorted ids step by <= 1 per entry)
-    into a [chunk, kp] window, then one dynamic_update_slice
-    read-modify-write per chunk — no one-hot matmul, no global scatter."""
-    del prec
-    np_rows, kp = p_t.shape
-    pt = pc.shape[0]
-    ptm = -(-pt // chunk) * chunk
-    if ptm != pt:
-        ext = ptm - pt
-        pc = jnp.concatenate([pc, jnp.broadcast_to(pc[-1], (ext,))])
-        oc = jnp.concatenate([oc, jnp.broadcast_to(oc[-1], (ext,))])
-        y = jnp.concatenate([y, jnp.zeros((ext,), y.dtype)])
-    steps = ptm // chunk
-    pc_r = pc.reshape(steps, chunk)
-    oc_r = oc.reshape(steps, chunk)
-    y_r = y.reshape(steps, chunk)
-
-    def body(acc, xs):
-        pcm, ocm, ym = xs                     # [C]
-        pg = p_t[pcm].astype(jnp.float32)     # [C, kp] gather
-        og = o_t[ocm].astype(jnp.float32)
-        prod = pg * og
-        s = jnp.sum(prod, axis=1)
-        w = ym / jnp.maximum(s, 1e-30)
-        ph = w[:, None] * prod                # y * phi, [C, kp]
-        u0 = pcm[0]
-        win = jax.ops.segment_sum(ph, pcm - u0, num_segments=chunk,
-                                  indices_are_sorted=True)
-        cur = lax.dynamic_slice(acc, (u0, 0), (chunk, kp))
-        return lax.dynamic_update_slice(acc, cur + win, (u0, 0)), None
 
     init = jnp.zeros((np_rows + chunk, kp), jnp.float32)
     acc, _ = lax.scan(body, init, (pc_r, oc_r, y_r))

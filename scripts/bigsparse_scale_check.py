@@ -221,7 +221,12 @@ def main():
 
         @_ft.partial(jax.jit, static_argnames=("bf16",))
         def tail_only(a, b, bf16=True):
-            return mxu_tail_sweep(a, b, None, None, tc, bf16=bf16)[0]
+            # reduce BOTH accumulators to scalars: returning only acc_a
+            # lets XLA dead-code-eliminate the whole item-side half
+            # (which is how r4's first artifact under-reported the tail
+            # at 25 ns/nnz when the true both-sides cost was ~47)
+            ra, rb, _, _ = mxu_tail_sweep(a, b, None, None, tc, bf16=bf16)
+            return jnp.sum(ra) + jnp.sum(rb)
 
         r = tail_only(a_lin, b_lin)
         _ = fence(r)

@@ -145,7 +145,9 @@ def main():
         assert np.isfinite(float(jnp.sum(state.theta.e)))
     out = os.path.join(ROOT, ".bench_cache", "netflix_scale.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
-    json.dump(results, open(out, "w"), indent=1)
+    with open(out, "w") as fh:
+        json.dump(results, fh, indent=1)
+        fh.write("\n")
     print(json.dumps(results), flush=True)
 
 

@@ -91,18 +91,20 @@ def main():
     a_lin = jnp.exp(state.theta.elog)
     b_lin = jnp.exp(state.beta.elog)
 
-    # 2. tail alone
+    # 2. tail alone (tc passed as an argument — NEVER close over device
+    # arrays: a captured multi-GB buffer becomes a jaxpr constant and
+    # stalls compilation at tens of GB of host RSS)
     from hgaprec_tpu.ops.mxu_tail import mxu_tail_sweep
-    tc = data.tail_compact
-    f_tail = jax.jit(lambda a, b: mxu_tail_sweep(a, b, None, None, tc,
-                                                 bf16=True)[0])
-    timed("mxu_tail_sweep alone", f_tail, a_lin, b_lin)
+    f_tail = jax.jit(lambda a, b, t: mxu_tail_sweep(a, b, None, None, t,
+                                                    bf16=True)[0])
+    timed("mxu_tail_sweep alone", f_tail, a_lin, b_lin, data.tail_compact)
 
     # 3. head alone
     from hgaprec_tpu.ops.dense_pallas import fused_dense_sweep
-    f_head = jax.jit(lambda a, bh: fused_dense_sweep(
-        a, bh, data.head_dense_y, bf16=True)[0])
-    timed("fused dense head alone", f_head, a_lin, b_lin[data.head_items])
+    f_head = jax.jit(lambda a, bh, y: fused_dense_sweep(
+        a, bh, y, bf16=True)[0])
+    timed("fused dense head alone", f_head, a_lin,
+          b_lin[data.head_items], data.head_dense_y)
 
     # 4. rate updates + expectations alone (sweep result = constants)
     import hgaprec_tpu.ops.sweep as sweep_mod

@@ -51,6 +51,116 @@ def timed(label, fn, *args, iters=3):
     return dt
 
 
+# ---- experimental half-sweep variants (measured slower than the
+# shipped _half_sweep on v5e; kept here probe-only so no dead code
+# ships in the product module) ----
+import jax.numpy as jnp  # noqa: E402
+from jax import lax  # noqa: E402
+
+
+def _half_sweep_segsum(p_t: jax.Array, o_t: jax.Array, pc: jax.Array,
+                       oc: jax.Array, y: jax.Array, *, chunk: int,
+                       mm_dtype, prec) -> jax.Array:
+    """Windowed-accumulator half sweep via local sorted segment_sum.
+
+    Same contract as _half_sweep, but the per-chunk reduction onto the
+    sorted side uses jax.ops.segment_sum with chunk-local ids
+    (pc - pc[0], all < chunk since sorted ids step by <= 1 per entry)
+    into a [chunk, kp] window, then one dynamic_update_slice
+    read-modify-write per chunk — no one-hot matmul, no global scatter."""
+    del prec
+    np_rows, kp = p_t.shape
+    pt = pc.shape[0]
+    ptm = -(-pt // chunk) * chunk
+    if ptm != pt:
+        ext = ptm - pt
+        pc = jnp.concatenate([pc, jnp.broadcast_to(pc[-1], (ext,))])
+        oc = jnp.concatenate([oc, jnp.broadcast_to(oc[-1], (ext,))])
+        y = jnp.concatenate([y, jnp.zeros((ext,), y.dtype)])
+    steps = ptm // chunk
+    pc_r = pc.reshape(steps, chunk)
+    oc_r = oc.reshape(steps, chunk)
+    y_r = y.reshape(steps, chunk)
+
+    def body(acc, xs):
+        pcm, ocm, ym = xs                     # [C]
+        pg = p_t[pcm].astype(jnp.float32)     # [C, kp] gather
+        og = o_t[ocm].astype(jnp.float32)
+        prod = pg * og
+        s = jnp.sum(prod, axis=1)
+        w = ym / jnp.maximum(s, 1e-30)
+        ph = w[:, None] * prod                # y * phi, [C, kp]
+        u0 = pcm[0]
+        win = jax.ops.segment_sum(ph, pcm - u0, num_segments=chunk,
+                                  indices_are_sorted=True)
+        cur = lax.dynamic_slice(acc, (u0, 0), (chunk, kp))
+        return lax.dynamic_update_slice(acc, cur + win, (u0, 0)), None
+
+    init = jnp.zeros((np_rows + chunk, kp), jnp.float32)
+    acc, _ = lax.scan(body, init, (pc_r, oc_r, y_r))
+    return acc
+
+
+def _half_sweep_window(p_t: jax.Array, o_t: jax.Array, pc: jax.Array,
+                       oc: jax.Array, y: jax.Array, *, chunk: int,
+                       mm_dtype, prec) -> jax.Array:
+    """Half sweep with the primary side fetched as a contiguous window.
+
+    The primary (sorted) side's compact ids span < C rows per C-nonzero
+    chunk, so instead of a per-row HBM gather (latency-bound, ~6 ns per
+    256 B row regardless of sortedness — scripts/gather_probe.py) the
+    chunk loads ONE contiguous [C, kp] window with dynamic_slice
+    (bandwidth-bound) and expands rows per nonzero with the SAME one-hot
+    matrix used for the reduction:
+
+        pg      = G   @ W        (expand:  G[j, r] = [ids[j]-u0 == r])
+        contrib = G^T @ (y*phi)  (reduce)
+
+    Only the secondary side still pays the random-gather latency. Same
+    contract as _half_sweep with batch == 1."""
+    np_rows, kp = p_t.shape
+    pt = pc.shape[0]
+    ptm = -(-pt // chunk) * chunk
+    if ptm != pt:
+        ext = ptm - pt
+        pc = jnp.concatenate([pc, jnp.broadcast_to(pc[-1], (ext,))])
+        oc = jnp.concatenate([oc, jnp.broadcast_to(oc[-1], (ext,))])
+        y = jnp.concatenate([y, jnp.zeros((ext,), y.dtype)])
+    steps = ptm // chunk
+    pc_r = pc.reshape(steps, chunk)
+    oc_r = oc.reshape(steps, chunk)
+    y_r = y.reshape(steps, chunk)
+    # window pad: the last chunk's window may run past the table
+    p_pad = jnp.pad(p_t, ((0, chunk), (0, 0)))
+
+    iota_c = lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+
+    def body(acc, xs):
+        pcm, ocm, ym = xs                     # [C]
+        u0 = pcm[0]
+        w_win = lax.dynamic_slice(p_pad, (u0, 0), (chunk, kp))
+        g = (pcm[:, None] - u0 == iota_c).astype(mm_dtype)   # [C, C]
+        pg = jnp.dot(g, w_win.astype(mm_dtype),
+                     preferred_element_type=jnp.float32,
+                     precision=prec)          # [C, kp] expand
+        og = o_t[ocm].astype(jnp.float32)     # [C, kp] random gather
+        prod = pg * og
+        s = jnp.sum(prod, axis=1)
+        w = ym / jnp.maximum(s, 1e-30)
+        ph = w[:, None] * prod
+        contrib = jnp.dot(g.T, ph.astype(mm_dtype),
+                          preferred_element_type=jnp.float32,
+                          precision=prec)     # [C, kp] reduce
+        cur = lax.dynamic_slice(acc, (u0, 0), (chunk, kp))
+        return lax.dynamic_update_slice(acc, cur + contrib, (u0, 0)), None
+
+    init = jnp.zeros((np_rows + chunk, kp), jnp.float32)
+    acc, _ = lax.scan(body, init, (pc_r, oc_r, y_r))
+    return acc
+
+
+
+
 def main():
     nnz_m = float(sys.argv[1]) if len(sys.argv) > 1 else 7.5
     p = int(nnz_m * 1e6)
@@ -103,15 +213,16 @@ def main():
     print(f"compact: NA={tc.users.shape[0]} MT={tc.items.shape[0]}",
           flush=True)
     for chunk in (1024, 4096):
-        f = jax.jit(lambda a, b, t=tc, c=chunk:
-                    mxu_tail_sweep(a, b, None, None, t, chunk=c, bf16=True)
-                    [0])
-        timed(f"mxu tail chunk={chunk} bf16", f, a_lin, b_lin)
+        # sum BOTH accumulators — returning acc_a alone DCEs the whole
+        # item-side half and under-reports the tail cost 2x
+        f = jax.jit(lambda a, b, t=tc, c=chunk: sum(
+            jnp.sum(r) for r in
+            mxu_tail_sweep(a, b, None, None, t, chunk=c, bf16=True)[:2]))
+        timed(f"mxu tail chunk={chunk} bf16 (both)", f, a_lin, b_lin)
 
     # half-sweep decomposition: which side pays, and does the one-hot
     # einsum or the windowed local segment_sum win per half?
-    from hgaprec_tpu.ops.mxu_tail import (_augment, _half_sweep,
-                                          _half_sweep_segsum)
+    from hgaprec_tpu.ops.mxu_tail import _augment, _half_sweep
     import jax.numpy as jnp_
     na, mt = tc.users.shape[0], tc.items.shape[0]
     kp = 128
