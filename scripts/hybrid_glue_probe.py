@@ -6,6 +6,15 @@ step-minus-sweep 15 — 196 ms appears only when composed. Candidates:
 the exp()+expansion glue in sweep_hybrid, or scheduling loss when the
 head pallas_call and the two tail scans share one program.
 
+RESOLVED (r4, 26.9M-nnz run, v5e): there is no composition overhead.
+Stages 1/2 measured 154.4 vs 150.5 ms (glue ~4 ms), and stage 3's
+isolated halves measured 113.3 + 114.3 ms — the "196 ms" was the
+item-side half-sweep, dead-code-eliminated in step_decomp_probe's
+original tail stage (it returned only acc_a). NOTE stages 1 and 2
+both still DCE the item half (they return acc_a only) — they isolate
+the GLUE delta, not the absolute sweep cost; stage 3 is the honest
+per-half cost. See step_decomp_probe.py for the closed accounting.
+
 Times, on the same data/state:
   1. jit(sweep_hybrid)                      (sweep + glue, no updates)
   2. jit(tail-sweep + head-kernel)          (both raw, one program)

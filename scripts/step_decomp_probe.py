@@ -1,13 +1,25 @@
 #!/usr/bin/env python
 """Decompose the hybrid HPF cavi_step cost at EchoNest-preset scale.
 
-The r4 echonest artifact measures the full hybrid step at 464 ms/iter
-while its parts in isolation measure ~32 ms (dense head, T=4096) +
-~216 ms (MXU tail) — leaving ~200 ms unattributed. This probe times,
-in one process on the same synthetic data:
+RESOLVED (r4, 26.9M-nnz run, v5e): the "~200 ms unattributed" gap this
+probe was written for was the DCE trap — the original "tail alone"
+stage returned only acc_a, so XLA dead-code-eliminated the entire
+item-side half-sweep. With both accumulators reduced (fixed below),
+the books balance:
+
+  full hybrid cavi_step            282.5 ms
+  tail user half alone             113.3 ms   (hybrid_glue_probe)
+  tail item half alone             114.3 ms
+  fused dense head alone            41.2 ms
+  rate updates + expectations       13.8 ms
+  sweep_hybrid exp()+combine glue   ~4 ms     (154.4 vs 150.5,
+                                               hybrid_glue_probe)
+
+i.e. the tail two-pass sweep is ~80% of the step (~25 ns/nnz PER
+HALF, ~50 both), head+updates+glue the rest. This probe now times:
 
   1. the full hybrid cavi_step         (the artifact's number)
-  2. mxu_tail_sweep alone
+  2. mxu_tail_sweep alone (BOTH accumulators reduced)
   3. fused dense head alone
   4. a cavi_step whose sweep result is precomputed constants
      (rate updates + expectations + state rebuild alone)
@@ -95,8 +107,15 @@ def main():
     # arrays: a captured multi-GB buffer becomes a jaxpr constant and
     # stalls compilation at tens of GB of host RSS)
     from hgaprec_tpu.ops.mxu_tail import mxu_tail_sweep
-    f_tail = jax.jit(lambda a, b, t: mxu_tail_sweep(a, b, None, None, t,
-                                                    bf16=True)[0])
+
+    def _tail_both(a, b, t):
+        # reduce BOTH accumulators: returning only acc_a lets XLA
+        # dead-code-eliminate the whole item-side half (the bug that
+        # made this probe report ~200 ms "unattributed" in r4)
+        ra, rb, _, _ = mxu_tail_sweep(a, b, None, None, t, bf16=True)
+        return jnp.sum(ra) + jnp.sum(rb)
+
+    f_tail = jax.jit(_tail_both)
     timed("mxu_tail_sweep alone", f_tail, a_lin, b_lin, data.tail_compact)
 
     # 3. head alone
