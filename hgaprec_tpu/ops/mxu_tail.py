@@ -82,6 +82,13 @@ class TailCompact:
     y_i: jax.Array       # f32[PT]
     users: jax.Array     # i32[NA] active user ids (sorted)
     items: jax.Array     # i32[MT] active item ids (sorted)
+    # per-chunk window metadata for the Pallas tail kernel
+    # (ops/pallas_tail.py): aligned window base per chunk + window-local
+    # ids, for each sort order. None when built with a non-default chunk.
+    w0_u: Optional[jax.Array] = None    # i32[PT // chunk]
+    l_u: Optional[jax.Array] = None     # i32[PT], in [0, SPAN)
+    w0_i: Optional[jax.Array] = None    # i32[PT // chunk]
+    l_i: Optional[jax.Array] = None     # i32[PT]
 
 
 def build_tail_compact(u: np.ndarray, i: np.ndarray, y: np.ndarray,
@@ -99,16 +106,30 @@ def build_tail_compact(u: np.ndarray, i: np.ndarray, y: np.ndarray,
     pt = -(-u.size // pad_multiple) * pad_multiple
     pad = pt - u.size
 
-    def padded(x, fill):
-        return jnp.asarray(np.concatenate([x, np.full(pad, fill, x.dtype)]))
+    def hpad(x, fill):
+        return np.concatenate([x, np.full(pad, fill, x.dtype)])
+
+    cu_p = hpad(cu, cu[-1])
+    ci_ip = hpad(ci[order], ci[order][-1])
+    # window metadata for the Pallas tail kernel — only meaningful at
+    # its chunk granularity
+    w0_u = l_u = w0_i = l_i = None
+    if pad_multiple == DEF_CHUNK:
+        from hgaprec_tpu.ops.pallas_tail import chunk_windows
+        w0u_np, lu_np = chunk_windows(cu_p)
+        w0i_np, li_np = chunk_windows(ci_ip)
+        w0_u, l_u = jnp.asarray(w0u_np), jnp.asarray(lu_np)
+        w0_i, l_i = jnp.asarray(w0i_np), jnp.asarray(li_np)
 
     return TailCompact(
-        cu=padded(cu, cu[-1]), ci=padded(ci, ci[-1]), y=padded(yf, 0.0),
-        cu_i=padded(cu[order], cu[order][-1]),
-        ci_i=padded(ci[order], ci[order][-1]),
-        y_i=padded(yf[order], 0.0),
+        cu=jnp.asarray(cu_p), ci=jnp.asarray(hpad(ci, ci[-1])),
+        y=jnp.asarray(hpad(yf, 0.0)),
+        cu_i=jnp.asarray(hpad(cu[order], cu[order][-1])),
+        ci_i=jnp.asarray(ci_ip),
+        y_i=jnp.asarray(hpad(yf[order], 0.0)),
         users=jnp.asarray(users.astype(np.int32)),
         items=jnp.asarray(items.astype(np.int32)),
+        w0_u=w0_u, l_u=l_u, w0_i=w0_i, l_i=l_i,
     )
 
 

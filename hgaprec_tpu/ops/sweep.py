@@ -325,9 +325,23 @@ def sweep_hybrid(elog_a: jax.Array, elog_b: jax.Array,
                             bf16=bf16, interpret=interpret)
 
     if data.tail_compact is not None:
-        from hgaprec_tpu.ops.mxu_tail import mxu_tail_sweep
-        tail = SweepResult(*mxu_tail_sweep(
-            a_lin, b_lin, ba_lin, bb_lin, data.tail_compact, bf16=bf16))
+        tc = data.tail_compact
+        # Pallas tail kernel (one gather per nonzero, VMEM accumulator
+        # ring) on TPU; the XLA two-pass MXU tail stays the portable
+        # fallback. HGAPREC_TAIL=mxu forces the fallback for A/B runs.
+        import os
+        use_pallas = (tc.w0_u is not None
+                      and jax.default_backend() == "tpu"
+                      and os.environ.get("HGAPREC_TAIL", "pallas")
+                      == "pallas")
+        if use_pallas:
+            from hgaprec_tpu.ops.pallas_tail import pallas_tail_sweep
+            tail = SweepResult(*pallas_tail_sweep(
+                a_lin, b_lin, ba_lin, bb_lin, tc, bf16=bf16))
+        else:
+            from hgaprec_tpu.ops.mxu_tail import mxu_tail_sweep
+            tail = SweepResult(*mxu_tail_sweep(
+                a_lin, b_lin, ba_lin, bb_lin, tc, bf16=bf16))
     else:
         tail = _segment_onepass_lin(a_lin, b_lin, ba_lin, bb_lin,
                                     data.u_ids_tail, data.i_ids_tail,

