@@ -122,7 +122,7 @@ def build_device_data(store: RatingsStore, *, pad_multiple: int = 1024,
             [yt, np.zeros(padt, np.float32)]))
         head_items = jnp.asarray(head_ids)
         head_dense = jnp.asarray(hd)
-        tail_compact = build_tail_compact(ut, it, yt)
+        tail_compact = build_tail_compact(ut, it, yt, n_users=n)
 
     # pad with max ids so both sort orders remain ascending
     u = np.concatenate([u, np.full(pad, max(n - 1, 0), np.int32)])

@@ -89,12 +89,23 @@ class TailCompact:
     l_u: Optional[jax.Array] = None     # i32[PT], in [0, SPAN)
     w0_i: Optional[jax.Array] = None    # i32[PT // chunk]
     l_i: Optional[jax.Array] = None     # i32[PT]
+    # identity-primary metadata (Pallas kernel, user side): when nearly
+    # every user appears in the tail, the kernel can run on the FULL
+    # user table with RAW-id windows — no compact-table gather and no
+    # scatter re-expansion of the result. Built when the raw user
+    # stream satisfies the window-span invariant (needs n at build).
+    w0_ur: Optional[jax.Array] = None   # i32[PT // chunk] raw window base
+    l_ur: Optional[jax.Array] = None    # i32[PT] raw window-local ids
+    u_i_raw: Optional[jax.Array] = None  # i32[PT] raw user ids, item order
 
 
 def build_tail_compact(u: np.ndarray, i: np.ndarray, y: np.ndarray,
-                       *, pad_multiple: int = DEF_CHUNK
-                       ) -> Optional[TailCompact]:
-    """Compact a user-sorted COO stream. Returns None when empty."""
+                       *, pad_multiple: int = DEF_CHUNK,
+                       n_users: int = 0) -> Optional[TailCompact]:
+    """Compact a user-sorted COO stream. Returns None when empty.
+
+    n_users > 0 additionally tries to build the identity-primary
+    metadata for the Pallas kernel (see TailCompact.w0_ur)."""
     if u.size == 0:
         return None
     users, cu = np.unique(u, return_inverse=True)
@@ -114,12 +125,24 @@ def build_tail_compact(u: np.ndarray, i: np.ndarray, y: np.ndarray,
     # window metadata for the Pallas tail kernel — only meaningful at
     # its chunk granularity
     w0_u = l_u = w0_i = l_i = None
+    w0_ur = l_ur = u_i_raw = None
     if pad_multiple == DEF_CHUNK:
         from hgaprec_tpu.ops.pallas_tail import chunk_windows
         w0u_np, lu_np = chunk_windows(cu_p)
         w0i_np, li_np = chunk_windows(ci_ip)
         w0_u, l_u = jnp.asarray(w0u_np), jnp.asarray(lu_np)
         w0_i, l_i = jnp.asarray(w0i_np), jnp.asarray(li_np)
+        if n_users > 0 and users.size >= 0.9 * n_users:
+            u_p = hpad(u.astype(np.int32), np.int32(u[-1]))
+            try:
+                w0ur_np, lur_np = chunk_windows(u_p)
+            except AssertionError:
+                pass   # raw gaps too wide for the window — compact only
+            else:
+                w0_ur = jnp.asarray(w0ur_np)
+                l_ur = jnp.asarray(lur_np)
+                u_i_raw = jnp.asarray(
+                    hpad(u[order].astype(np.int32), np.int32(u[-1])))
 
     return TailCompact(
         cu=jnp.asarray(cu_p), ci=jnp.asarray(hpad(ci, ci[-1])),
@@ -130,6 +153,7 @@ def build_tail_compact(u: np.ndarray, i: np.ndarray, y: np.ndarray,
         users=jnp.asarray(users.astype(np.int32)),
         items=jnp.asarray(items.astype(np.int32)),
         w0_u=w0_u, l_u=l_u, w0_i=w0_i, l_i=l_i,
+        w0_ur=w0_ur, l_ur=l_ur, u_i_raw=u_i_raw,
     )
 
 

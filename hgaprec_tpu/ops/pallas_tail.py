@@ -61,9 +61,12 @@ from jax.experimental.pallas import tpu as pltpu
 from hgaprec_tpu.ops.mxu_tail import DEF_CHUNK, LANE, _augment
 
 CHUNK = DEF_CHUNK      # nonzeros per window chunk (= TailCompact pad unit)
-ALIGN = 512            # window bases rounded down to this many rows
+ALIGN = 256            # window bases rounded down to this many rows
+                       # (hardware sweep: 8.5 ns/nnz/half at 256 vs 9.6
+                       # at 512 — the smaller window cuts both one-hot
+                       # matmuls by 17%)
 SPAN = CHUNK + ALIGN   # primary window rows per chunk (local ids < SPAN)
-FLUSH = 512            # rows flushed to HBM per ring advance
+FLUSH = ALIGN          # rows flushed to HBM per ring advance
 WR = SPAN + FLUSH      # VMEM accumulator ring rows
 RB = 8                 # chunks per grid step (Mosaic block tiling wants
                        # second-to-last block dims divisible by 8; also
@@ -88,7 +91,8 @@ def chunk_windows(ids, *, chunk: int = CHUNK, align: int = ALIGN):
 
 
 def _kernel(w0_ref, l_ref, y_ref, og_ref, ptab_ref, out_ref,
-            acc_ref, win_ref, base_ref, sems, *, mm_dtype, prec):
+            acc_ref, win_ref, base_ref, sems, *, mm_dtype, prec,
+            align):
     """One grid step = RB sub-chunks of CHUNK nonzeros each.
 
     w0_ref: full-array SMEM i32[nsteps, RB]; l_ref/y_ref: VMEM blocks
@@ -96,6 +100,10 @@ def _kernel(w0_ref, l_ref, y_ref, og_ref, ptab_ref, out_ref,
     HBM (manual DMA). win_ref: [2, SPAN, kp] double-buffered window
     scratch; base_ref: SMEM ring base carried across the whole grid.
     """
+    ALIGN = align                # window-base / flush granularity
+    SPAN = CHUNK + ALIGN
+    FLUSH = ALIGN
+    WR = SPAN + FLUSH
     c = pl.program_id(0)
     nc = pl.num_programs(0)
     kp = acc_ref.shape[1]
@@ -186,10 +194,11 @@ def _kernel(w0_ref, l_ref, y_ref, og_ref, ptab_ref, out_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("np_rows", "interpret", "bf16"))
+                   static_argnames=("np_rows", "interpret", "bf16",
+                                    "align"))
 def pallas_half_sweep(p_tab: jax.Array, og: jax.Array, local: jax.Array,
                       w0: jax.Array, y: jax.Array, *, np_rows: int,
-                      bf16: bool = False,
+                      bf16: bool = False, align: int = ALIGN,
                       interpret: bool = False) -> jax.Array:
     """One half-sweep: accumulate y*phi onto the sorted (primary) side.
 
@@ -208,6 +217,9 @@ def pallas_half_sweep(p_tab: jax.Array, og: jax.Array, local: jax.Array,
     mm_dtype = jnp.bfloat16 if bf16 else jnp.float32
     prec = None if bf16 else lax.Precision.HIGHEST
     og = og.astype(mm_dtype)
+    span = CHUNK + align
+    flush = align
+    wr = span + flush
 
     # pad the chunk count to an RB multiple (dummy chunks repeat the
     # last window with y = 0, contributing nothing)
@@ -225,13 +237,14 @@ def pallas_half_sweep(p_tab: jax.Array, og: jax.Array, local: jax.Array,
 
     # pad the table so every [w0, w0+SPAN) window is in bounds, and the
     # output so the final ring flush ([base, base+WR)) is in bounds
-    tab_rows = -(-max(np_rows, 1) // ALIGN) * ALIGN + SPAN
+    tab_rows = -(-max(np_rows, 1) // align) * align + span
     if p_tab.shape[0] < tab_rows:
         p_tab = jnp.pad(p_tab, ((0, tab_rows - p_tab.shape[0]), (0, 0)))
-    om = -(-max(np_rows, 1) // FLUSH) * FLUSH + WR
+    om = -(-max(np_rows, 1) // flush) * flush + wr
 
     out = pl.pallas_call(
-        functools.partial(_kernel, mm_dtype=mm_dtype, prec=prec),
+        functools.partial(_kernel, mm_dtype=mm_dtype, prec=prec,
+                          align=align),
         grid=(nsteps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),       # w0, full array
@@ -246,13 +259,13 @@ def pallas_half_sweep(p_tab: jax.Array, og: jax.Array, local: jax.Array,
         out_shape=jax.ShapeDtypeStruct((om, kp), jnp.float32),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((WR, kp), jnp.float32),
-            pltpu.VMEM((2, SPAN, kp), mm_dtype),
+            pltpu.VMEM((wr, kp), jnp.float32),
+            pltpu.VMEM((2, span, kp), mm_dtype),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=nch * 2 * 2 * CHUNK * SPAN * kp,
+            flops=nch * 2 * 2 * CHUNK * span * kp,
             bytes_accessed=(pt * kp * (2 if bf16 else 4) * 2
                             + np_rows * kp * 4),
             transcendentals=0,
@@ -285,11 +298,19 @@ def pallas_tail_sweep(a_lin: jax.Array, b_lin: jax.Array,
     na = tc.users.shape[0]
     mt = tc.items.shape[0]
     mm_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    # identity-primary user side: nearly every user is in the tail, so
+    # run the kernel on the FULL user table with raw-id windows — no
+    # compact-table gather, no scatter re-expansion of the result
+    ident_u = tc.w0_ur is not None
 
-    ones_a = jnp.ones((na,), a_lin.dtype) if bias else None
     ones_b = jnp.ones((mt,), b_lin.dtype) if bias else None
-    a_t = _augment(a_lin[tc.users],
-                   ba_lin[tc.users] if bias else None, ones_a, kp)
+    if ident_u:
+        ones_a = jnp.ones((n,), a_lin.dtype) if bias else None
+        a_t = _augment(a_lin, ba_lin, ones_a, kp)
+    else:
+        ones_a = jnp.ones((na,), a_lin.dtype) if bias else None
+        a_t = _augment(a_lin[tc.users],
+                       ba_lin[tc.users] if bias else None, ones_a, kp)
     b_t = _augment(b_lin[tc.items], ones_b,
                    bb_lin[tc.items] if bias else None, kp)
     a_t = a_t.astype(mm_dtype)
@@ -298,19 +319,31 @@ def pallas_tail_sweep(a_lin: jax.Array, b_lin: jax.Array,
     # the one gather per nonzero per half: the UNSORTED side's rows,
     # materialized contiguous so the kernel streams them
     og_u = b_t[tc.ci]
-    acc_a_c = pallas_half_sweep(a_t, og_u, tc.l_u, tc.w0_u, tc.y,
-                                np_rows=na, bf16=bf16, interpret=interpret)
-    og_i = a_t[tc.cu_i]
+    if ident_u:
+        acc_a_c = pallas_half_sweep(a_t, og_u, tc.l_ur, tc.w0_ur, tc.y,
+                                    np_rows=n, bf16=bf16,
+                                    interpret=interpret)
+        og_i = a_t[tc.u_i_raw]
+        acc_a = acc_a_c[:, :k]
+    else:
+        acc_a_c = pallas_half_sweep(a_t, og_u, tc.l_u, tc.w0_u, tc.y,
+                                    np_rows=na, bf16=bf16,
+                                    interpret=interpret)
+        og_i = a_t[tc.cu_i]
+        acc_a = jnp.zeros((n, k), jnp.float32).at[tc.users].set(
+            acc_a_c[:, :k], unique_indices=True, indices_are_sorted=True)
     acc_b_c = pallas_half_sweep(b_t, og_i, tc.l_i, tc.w0_i, tc.y_i,
                                 np_rows=mt, bf16=bf16, interpret=interpret)
 
-    acc_a = jnp.zeros((n, k), jnp.float32).at[tc.users].set(
-        acc_a_c[:, :k], unique_indices=True, indices_are_sorted=True)
     acc_b = jnp.zeros((m, k), jnp.float32).at[tc.items].set(
         acc_b_c[:, :k], unique_indices=True, indices_are_sorted=True)
     if bias:
-        acc_ba = jnp.zeros((n,), jnp.float32).at[tc.users].set(
-            acc_a_c[:, k], unique_indices=True, indices_are_sorted=True)
+        if ident_u:
+            acc_ba = acc_a_c[:, k]
+        else:
+            acc_ba = jnp.zeros((n,), jnp.float32).at[tc.users].set(
+                acc_a_c[:, k], unique_indices=True,
+                indices_are_sorted=True)
         acc_bb = jnp.zeros((m,), jnp.float32).at[tc.items].set(
             acc_b_c[:, k + 1], unique_indices=True,
             indices_are_sorted=True)

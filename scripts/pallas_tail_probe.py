@@ -63,10 +63,11 @@ def main():
     from hgaprec_tpu.ops.pallas_tail import (pallas_half_sweep,
                                              pallas_tail_sweep)
 
-    tc = build_tail_compact(u, i, y)
+    tc = build_tail_compact(u, i, y, n_users=N)
     na, mt = tc.users.shape[0], tc.items.shape[0]
     print(f"nnz={p / 1e6:.1f}M NA={na} MT={mt} "
-          f"chunks={tc.cu.shape[0] // 1024}", flush=True)
+          f"chunks={tc.cu.shape[0] // 1024} "
+          f"identity_u={tc.w0_ur is not None}", flush=True)
 
     def both(f):
         def g(a, b):
@@ -108,6 +109,32 @@ def main():
     timed("og pre-gather alone (item rows)",
           jax.jit(lambda b_, ix: jnp.sum(b_[ix], dtype=jnp.float32)),
           b_t, tc.ci, nnz=p)
+
+    # --- geometry variant: ALIGN=256 (smaller window, 17% less MXU) ---
+    from hgaprec_tpu.ops.pallas_tail import chunk_windows
+    cu_np = np.asarray(tc.cu)
+    w0u2, lu2 = chunk_windows(cu_np, align=256)
+    fu2 = jax.jit(lambda pt_, o, l, w0_, yy: jnp.sum(pallas_half_sweep(
+        pt_, o, l, w0_, yy, np_rows=na, bf16=True, align=256)))
+    timed("pallas half user align=256", fu2, a_t, og_u,
+          jnp.asarray(lu2), jnp.asarray(w0u2), tc.y, nnz=p)
+
+    # --- identity primary: NA ~= N, skip the compact-table gather ----
+    # raw user ids are nearly compact; if their chunk spans fit the
+    # window the kernel can run on the FULL table directly (no
+    # a_lin[users] gather, no .at[users].set expansion)
+    pt_len = cu_np.shape[0]
+    u_pad = np.concatenate([u, np.full(pt_len - p, u[-1], np.int32)])
+    try:
+        w0r, lr = chunk_windows(u_pad)
+        a_full = _augment(a_lin, None, None, kp).astype(jnp.bfloat16)
+        fu3 = jax.jit(lambda pt_, o, l, w0_, yy: jnp.sum(
+            pallas_half_sweep(pt_, o, l, w0_, yy, np_rows=N, bf16=True)))
+        timed("pallas half user identity-table", fu3, a_full, og_u,
+              jnp.asarray(lr), jnp.asarray(w0r), tc.y, nnz=p)
+    except AssertionError:
+        print("identity-table: span invariant violated, skipped",
+              flush=True)
 
 
 if __name__ == "__main__":

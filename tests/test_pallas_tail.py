@@ -63,6 +63,34 @@ def test_matches_mxu_tail(bias, gap_users):
                                    rtol=2e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("bias", [False, True])
+def test_identity_primary_matches(bias):
+    # every user rates: raw-id windows valid -> identity-primary path
+    rng = np.random.default_rng(19)
+    n, m, k = 700, 300, 10
+    u = np.repeat(np.arange(n, dtype=np.int32), 4)
+    i = rng.integers(0, m, u.size).astype(np.int32)
+    order = np.lexsort((i, u))
+    u, i = u[order], i[order]
+    y = rng.integers(1, 4, u.size).astype(np.float32)
+    tc = build_tail_compact(u, i, y, n_users=n)
+    assert tc.w0_ur is not None            # identity metadata built
+    a, b, ba, bb = _tables(rng, tc, k, bias)
+    a = jnp.asarray(np.pad(np.asarray(a), ((0, n - a.shape[0]), (0, 0)),
+                           constant_values=0.5))
+    if bias:
+        ba = jnp.asarray(np.pad(np.asarray(ba), (0, n - ba.shape[0]),
+                                constant_values=0.5))
+    ref = mxu_tail_sweep(a, b, ba, bb, tc, bf16=False)
+    got = pallas_tail_sweep(a, b, ba, bb, tc, bf16=False, interpret=True)
+    for r, g in zip(ref, got):
+        if r is None:
+            assert g is None
+            continue
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-5, atol=1e-6)
+
+
 def test_single_chunk_stream():
     rng = np.random.default_rng(3)
     u, i, y = _rand_coo(rng, 200, 50, CHUNK // 2)
@@ -87,7 +115,8 @@ def test_chunk_windows_invariants():
     ids = ids.astype(np.int32)
     w0, loc = chunk_windows(ids)
     assert w0.shape == (4,) and loc.shape == ids.shape
-    assert (w0 % 512 == 0).all()
+    from hgaprec_tpu.ops.pallas_tail import ALIGN
+    assert (w0 % ALIGN == 0).all()
     assert loc.min() >= 0 and loc.max() < SPAN
     # reconstruction
     np.testing.assert_array_equal(np.repeat(w0, CHUNK) + loc, ids)
