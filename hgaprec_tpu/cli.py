@@ -224,6 +224,26 @@ def main(argv: Optional[List[str]] = None) -> int:
         except RuntimeError:
             pass  # backend already initialized
 
+    # persistent compilation cache: the K=100 CAVI program compiles in
+    # tens of seconds on TPU (reference: no compile step, main.cc runs
+    # immediately) — cache it so repeat invocations skip straight to
+    # iteration 1. Opt out with HGAPREC_COMPILE_CACHE=0; relocate with
+    # HGAPREC_COMPILE_CACHE_DIR.
+    if os.environ.get("HGAPREC_COMPILE_CACHE", "1") != "0":
+        import jax
+        cache_dir = os.environ.get(
+            "HGAPREC_COMPILE_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "hgaprec_tpu", "jax"))
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_entry_size_bytes", -1)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except RuntimeError:
+            pass
+
     # multi-host pod bootstrap (no-op for single-process runs); when a
     # multi-process launch is detected, default to sharding over the
     # whole pod unless -devices narrowed it explicitly

@@ -47,19 +47,20 @@ TILE_C = 512    # item cols per grid step
 VMEM_ACC_BUDGET = 10 << 20
 
 
-def _kernel(*refs, bf16: bool, bias: bool):
-    if bias:
-        (a_ref, b_ref, ba_ref, bb_ref, y_ref,
-         acc_a_ref, acc_b_ref, acc_ba_ref, acc_bb_ref) = refs
-    else:
-        a_ref, b_ref, y_ref, acc_a_ref, acc_b_ref = refs
+def _kernel(a_ref, b_ref, y_ref, acc_a_ref, acc_b_ref, *, bf16: bool):
     u = pl.program_id(0)
     c = pl.program_id(1)
     tc = b_ref.shape[0]
 
     # a/b arrive already in the matmul dtype (bf16 serving casts happen
     # once per iteration in XLA, not per tile on the VPU — and halve the
-    # HBM traffic of the per-user-tile B re-reads)
+    # HBM traffic of the per-user-tile B re-reads). Bias variants arrive
+    # with the bias expectations packed into the lane-padding columns
+    # (a = [A | ba | 1 | 0...], b = [B | 1 | bb | 0...]) so the score
+    # s = A@B^T + ba + bb (prediction_score, hgaprec.cc:1850-1891) and
+    # the bias shape statistics rowsum(w)/colsum(w) all ride the SAME
+    # three matmuls on otherwise-idle MXU lanes — the kernel itself is
+    # bias-agnostic and pays zero extra VPU passes.
     a = a_ref[:]
     b = b_ref[:]
     y = y_ref[:]
@@ -69,11 +70,6 @@ def _kernel(*refs, bf16: bool, bias: bool):
     y = y.astype(jnp.float32)
 
     s = jnp.dot(a, b.T, preferred_element_type=jnp.float32)      # [TU, TC]
-    if bias:
-        # bias variants: score = A@B^T + E[bias_u] + E[bias_i]
-        # (prediction_score, hgaprec.cc:1850-1891); ba tile [TU,1]
-        # broadcasts over columns, bb tile [1,TC] over rows
-        s = s + ba_ref[:] + bb_ref[:]
     # Select-free weight: after the clamp the reciprocal is finite, so
     # y == 0 cells (including every padding row/column) give w == 0
     # exactly — no compare/select pass over the [TU, TC] tile. The clamp
@@ -83,11 +79,9 @@ def _kernel(*refs, bf16: bool, bias: bool):
         # serving config: hardware approximate reciprocal (~2^-12 rel
         # error, far below the bf16 matmul error already accepted); the
         # exact-divide chain is the kernel's VPU bottleneck, not the MXU.
-        w32 = y * pl.reciprocal(sc, approx=True)
-        w = w32.astype(jnp.bfloat16)
+        w = (y * pl.reciprocal(sc, approx=True)).astype(jnp.bfloat16)
     else:
-        w32 = y / sc
-        w = w32
+        w = y / sc
 
     contrib_a = jnp.dot(w, b, preferred_element_type=jnp.float32)
     contrib_b = jnp.dot(w.T, a, preferred_element_type=jnp.float32)
@@ -108,27 +102,6 @@ def _kernel(*refs, bf16: bool, bias: bool):
     def _():
         acc_b_ref[pl.ds(c * tc, tc), :] = (
             acc_b_ref[pl.ds(c * tc, tc), :] + contrib_b)
-
-    if bias:
-        contrib_ba = jnp.sum(w32, axis=1, keepdims=True)      # [TU, 1]
-        contrib_bb = jnp.sum(w32, axis=0)                     # [TC]
-
-        @pl.when(c == 0)
-        def _():
-            acc_ba_ref[:] = contrib_ba
-
-        @pl.when(c != 0)
-        def _():
-            acc_ba_ref[:] = acc_ba_ref[:] + contrib_ba
-
-        @pl.when(u == 0)
-        def _():
-            acc_bb_ref[0, pl.ds(c * tc, tc)] = contrib_bb
-
-        @pl.when(u != 0)
-        def _():
-            acc_bb_ref[0, pl.ds(c * tc, tc)] = (
-                acc_bb_ref[0, pl.ds(c * tc, tc)] + contrib_bb)
 
 
 def _pad_axis(x: jax.Array, mult: int, axis: int) -> jax.Array:
@@ -161,7 +134,22 @@ def fused_dense_sweep(a_lin: jax.Array, b_lin: jax.Array,
     n, k = a_lin.shape
     m = b_lin.shape[0]
     bias = ba_lin is not None
-    kp = -(-k // LANE) * LANE
+    kaug = k + 2 if bias else k
+    kp = -(-kaug // LANE) * LANE
+    if bias:
+        # pack the bias expectations into the lane-padding columns:
+        # a = [A | ba | 1], b = [B | 1 | bb]. The kernel's score matmul
+        # then includes ba + bb, and its contrib matmuls deliver
+        # rowsum(w) in acc_a[:, k] (w @ ones-col of b) and colsum(w) in
+        # acc_b[:, k+1] — bias statistics on otherwise-idle MXU lanes,
+        # zero extra VPU work (cf. ops/mxu_tail._augment, same layout;
+        # reference: the K+1/K+2 phi slots, hgaprec.cc:223-239)
+        ones_a = jnp.ones((n, 1), a_lin.dtype)
+        ones_b = jnp.ones((m, 1), b_lin.dtype)
+        a_lin = jnp.concatenate(
+            [a_lin, ba_lin.reshape(-1, 1), ones_a], axis=1)
+        b_lin = jnp.concatenate(
+            [b_lin, ones_b, bb_lin.reshape(-1, 1)], axis=1)
     if bf16:
         # cast once here (XLA, fused with the upstream exp) rather than
         # per tile in the kernel; bf16 B also halves the dominant B
@@ -201,35 +189,12 @@ def fused_dense_sweep(a_lin: jax.Array, b_lin: jax.Array,
                      memory_space=pltpu.VMEM),
     ]
     operands = [a, b]
-    if bias:
-        # pad ba all the way to np_ (not just a tile_u multiple): when
-        # dense_y rows exceed the factor rows, np_ was re-padded above
-        # and a tile_u-multiple pad of ba would fall short of it
-        ba = _pad_axis(ba_lin.reshape(-1, 1), np_, 0)          # [np_, 1]
-        bb = _pad_axis(bb_lin.reshape(1, -1), mp, 1)           # [1, mp]
-        operands += [ba, bb]
-        in_specs += [
-            pl.BlockSpec((tile_u, 1), lambda u, c: (u, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_c), lambda u, c: (0, c),
-                         memory_space=pltpu.VMEM),
-        ]
-        out_shape += [
-            jax.ShapeDtypeStruct((np_, 1), jnp.float32),
-            jax.ShapeDtypeStruct((1, mp), jnp.float32),
-        ]
-        out_specs += [
-            pl.BlockSpec((tile_u, 1), lambda u, c: (u, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mp), lambda u, c: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
     operands.append(y)
     in_specs.append(pl.BlockSpec((tile_u, tile_c), lambda u, c: (u, c),
                                  memory_space=pltpu.VMEM))
 
     outs = pl.pallas_call(
-        functools.partial(_kernel, bf16=bf16, bias=bias),
+        functools.partial(_kernel, bf16=bf16),
         grid=grid,
         in_specs=in_specs,
         out_shape=out_shape,
@@ -241,10 +206,11 @@ def fused_dense_sweep(a_lin: jax.Array, b_lin: jax.Array,
         ),
         interpret=interpret,
     )(*operands)
-    if bias:
-        acc_a, acc_b, acc_ba, acc_bb = outs
-        return (acc_a[:n, :k], acc_b[:m, :k], acc_ba[:n, 0], acc_bb[0, :m])
     acc_a, acc_b = outs
+    if bias:
+        # rowsum(w) rode b's ones column (k); colsum(w) rode a's (k+1)
+        return (acc_a[:n, :k], acc_b[:m, :k],
+                acc_a[:n, k], acc_b[:m, k + 1])
     return acc_a[:n, :k], acc_b[:m, :k]
 
 

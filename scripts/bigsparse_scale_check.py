@@ -188,7 +188,7 @@ def main():
     import dataclasses
 
     from hgaprec_tpu.ops.mxu_tail import build_tail_compact, mxu_tail_sweep
-    tc = build_tail_compact(ut, it_, yt)
+    tc = build_tail_compact(ut, it_, yt, n_users=n)
     data_h = DeviceData(u_ids=utp, i_ids=itp, y=ytp, item_order=utp,
                         i_ids_sorted=itp, u_ids_by_item=utp, dense_y=None,
                         head_items=j(head_ids), head_dense_y=head_dense,
@@ -200,14 +200,20 @@ def main():
                    tail_nnz=int(ut.size))
 
     state = None
-    for dd, prec, tag in ((data_h, "default", "hybrid_bf16"),
-                          (data_hm, "default", "hybrid_mxu_bf16"),
-                          (data_hm, "highest", "hybrid_mxu_f32")):
+    # tail impl is chosen at trace time from HGAPREC_TAIL (sweep.py);
+    # pallas is the TPU default, mxu the portable fallback
+    for dd, prec, tailimpl, tag in (
+            (data_h, "default", "pallas", "hybrid_bf16"),
+            (data_hm, "default", "pallas", "hybrid_pallas_bf16"),
+            (data_hm, "default", "mxu", "hybrid_mxu_bf16"),
+            (data_hm, "highest", "pallas", "hybrid_pallas_f32")):
+        os.environ["HGAPREC_TAIL"] = tailimpl
         cfg = ModelConfig(n=n, m=m, k=K, variant="hpf", sweep="hybrid",
                           matmul_precision=prec)
         ms, state = time_mode(cfg, dd, tag)
         results[f"ms_per_iter_{tag}"] = round(ms, 1)
         results[f"{tag}_ns_per_nnz"] = round(ms * 1e6 / nnz, 1)
+    os.environ.pop("HGAPREC_TAIL", None)
 
     # tail-only microbench: ns per tail nonzero through the MXU sweep
     # (VERDICT r2 #2 asks for the tail cost alone vs the ~54 ns/nnz
@@ -238,6 +244,27 @@ def main():
         results["tail_mxu_ms"] = round(tail_ms, 1)
         results["tail_mxu_ns_per_nnz"] = round(tail_ms * 1e6 / ut.size, 1)
         print(f"tail mxu: {tail_ms:.0f} ms "
+              f"({tail_ms * 1e6 / ut.size:.1f} ns/nnz)", flush=True)
+
+        from hgaprec_tpu.ops.pallas_tail import pallas_tail_sweep
+
+        @_ft.partial(jax.jit, static_argnames=("bf16",))
+        def tail_pallas(a, b, bf16=True):
+            ra, rb, _, _ = pallas_tail_sweep(a, b, None, None, tc,
+                                             bf16=bf16)
+            return jnp.sum(ra) + jnp.sum(rb)
+
+        r = tail_pallas(a_lin, b_lin)
+        _ = fence(r)
+        t0 = time.time()
+        for _ in range(5):
+            r = tail_pallas(a_lin, b_lin)
+        _ = fence(r)
+        tail_ms = (time.time() - t0) / 5 * 1e3
+        results["tail_pallas_ms"] = round(tail_ms, 1)
+        results["tail_pallas_ns_per_nnz"] = round(
+            tail_ms * 1e6 / ut.size, 1)
+        print(f"tail pallas: {tail_ms:.0f} ms "
               f"({tail_ms * 1e6 / ut.size:.1f} ns/nnz)", flush=True)
         del st, a_lin, b_lin, r
 
