@@ -1,5 +1,12 @@
 """MXU-native, scatter-free sparse CAVI sweep for the big-sparse tail.
 
+NOTE: on TPU hardware the production tail is now the Pallas kernel in
+ops/pallas_tail.py (windowed DMA + VMEM accumulator ring, one gather
+per nonzero per half — measured 29 vs 41 ns/nnz for this module's
+two-pass XLA sweep at EchoNest tail shape). This module remains the
+portable fallback (CPU, f32-precision parity runs, HGAPREC_TAIL=mxu)
+and the correctness oracle for the kernel's tests.
+
 The chunked segment sweep (ops/sweep.py::_segment_onepass_lin) pays an
 item-side scatter-add plus a full [N, K] segment-sum materialization
 per nonzero chunk. Measured honestly on v5e (scripts/tail_probe.py

@@ -329,8 +329,13 @@ def sweep_hybrid(elog_a: jax.Array, elog_b: jax.Array,
         # Pallas tail kernel (one gather per nonzero, VMEM accumulator
         # ring) on TPU; the XLA two-pass MXU tail stays the portable
         # fallback. HGAPREC_TAIL=mxu forces the fallback for A/B runs.
+        # bf16-only on hardware: the f32 variant's doubled og/window/
+        # one-hot buffers exceed the 16 MB VMEM budget (measured OOM at
+        # EchoNest scale); f32 is the parity/debug config and keeps the
+        # XLA tail.
         import os
         use_pallas = (tc.w0_u is not None
+                      and bf16
                       and jax.default_backend() == "tpu"
                       and os.environ.get("HGAPREC_TAIL", "pallas")
                       == "pallas")
