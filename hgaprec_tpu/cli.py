@@ -15,6 +15,7 @@ work unchanged:
 TPU-native extensions: -sweep dense|segment|segment-chunked|auto,
 -devices D (shard over a D-chip mesh),
 -resume (continue training from the native checkpoint),
+-tail auto|pallas|mxu (hybrid-mode tail kernel; auto = Pallas on TPU),
 -outdir PATH, -cpu (force the CPU backend), -trace DIR (run training
 under jax.profiler.trace for TensorBoard/xprof).
 """
@@ -62,6 +63,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         "sweep": "auto", "devices": 0, "resume": False, "outdir": None,
         "cpu": False, "item_block": 4096, "precision": "highest",
         "trace": None,
+        # hybrid tail implementation (auto|pallas|mxu); HGAPREC_TAIL env
+        # sets the default, -tail overrides — resolved HERE, once, into
+        # the static config (never read at trace time, advisor r4)
+        "tail": os.environ.get("HGAPREC_TAIL", "auto"),
     }
 
     i = 0
@@ -204,6 +209,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             o["item_block"] = int(nexta())
         elif arg == "-precision":
             o["precision"] = nexta()
+        elif arg == "-tail":
+            o["tail"] = nexta()
         elif arg == "-trace":
             o["trace"] = nexta()
         elif arg in ("-h", "--help"):
@@ -289,7 +296,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         n=store.n, m=store.m, k=o["k"], variant=variant, bias=o["bias"],
         binary=o["binary"], vb=o["vb"], a=o["a"], b=o["b"], c=o["c"],
         d=o["d"], sweep=o["sweep"], item_block=o["item_block"],
-        matmul_precision=o["precision"])
+        matmul_precision=o["precision"], tail_impl=o["tail"])
     chi_tool = ("nmf" if o["chinmf"] else "als" if o["als"] else
                 "wals" if o["wals"] else "climf" if o["climf"] else "")
     rcfg = RunConfig(

@@ -64,6 +64,14 @@ class ModelConfig:
     # "default" trades ~0.4% relative error for MXU throughput.
     matmul_precision: str = "highest"
     sweep: str = SWEEP_AUTO
+    # Hybrid-mode tail implementation: "auto" runs the Pallas windowed-DMA
+    # kernel (ops/pallas_tail.py, bf16 tables — see sweep_hybrid for the
+    # dtype rationale) on TPU and the portable XLA two-pass MXU sweep
+    # (ops/mxu_tail.py) elsewhere; "pallas"/"mxu" force one. An explicit
+    # static field (not an env var read at trace time) so jit cache keys
+    # include the choice and A/B runs can't silently measure the same
+    # implementation twice (advisor r4).
+    tail_impl: str = "auto"
     # Dense path: item-block size for streaming the [N, M] products.
     item_block: int = 4096
     user_block: int = 8192

@@ -77,16 +77,8 @@ def _masked_topk_device(sc: Scorer, users, mask_cols, k: int,
 def masked_topk(sc: Scorer, store, index, users: np.ndarray, k: int = 100,
                 item_chunk: int = 16384) -> Tuple[np.ndarray, np.ndarray]:
     """Host wrapper: builds the padded mask matrix, runs the device loop."""
-    masks = []
-    for n in users:
-        n = int(n)
-        masks.append(np.union1d(store.items_of_user(n),
-                                index.val_items(n)).astype(np.int64))
-    d = max((m.size for m in masks), default=1)
-    d = -(-max(d, 1) // 64) * 64    # stable shape across calls
-    mask_cols = np.full((len(users), d), -(10 ** 9), np.int32)
-    for r, mk in enumerate(masks):
-        mask_cols[r, :mk.size] = mk
+    from hgaprec_tpu.eval.ranking import build_mask_matrix
+    mask_cols = build_mask_matrix(store, index, users, round_to=64)
     vals, ids = _masked_topk_device(sc, jnp.asarray(users, jnp.int32),
                                     jnp.asarray(mask_cols), k,
                                     min(item_chunk, max(store.m, 128)))
@@ -172,19 +164,13 @@ def item_ranks(sc: Scorer, store, index, users: np.ndarray,
     limit_m = limit_m or store.m
     ranks = np.zeros(len(users), np.int32)
     tgts = np.zeros(len(users), np.float32)
+    from hgaprec_tpu.eval.ranking import build_mask_matrix
     for lo in range(0, len(users), pair_chunk):
         uu = np.asarray(users[lo:lo + pair_chunk], np.int32)
         ii = np.asarray(items[lo:lo + pair_chunk], np.int32)
-        masks = [np.union1d(store.items_of_user(int(n)),
-                            index.val_items(int(n))).astype(np.int64)
-                 for n in uu]
-        d = max(max((mk.size for mk in masks), default=1), 1)
-        # pad the mask width to a 64-multiple: d varies per pair chunk
+        # mask width padded to a 64-multiple: d varies per pair chunk
         # and each distinct width would retrace/recompile the jitted scan
-        d = -(-d // 64) * 64
-        mask_cols = np.full((len(uu), d), -(10 ** 9), np.int32)
-        for r, mk in enumerate(masks):
-            mask_cols[r, :mk.size] = mk
+        mask_cols = build_mask_matrix(store, index, uu, round_to=64)
         rk, tg = _item_rank_counts(
             sc, jnp.asarray(uu), jnp.asarray(mask_cols),
             min(item_chunk, max(store.m, 128)), limit_m, jnp.asarray(ii))

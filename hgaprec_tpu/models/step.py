@@ -110,7 +110,8 @@ def _step_bpf(state, data, cfg, mode, axis_name=None, row_mask=None):
     eb_u = state.theta_bias.elog if cfg.bias else None
     eb_i = state.beta_bias.elog if cfg.bias else None
     res = sweep(state.theta.elog, state.beta.elog, eb_u, eb_i, data, mode,
-                cfg.item_block, cfg.user_block, cfg.matmul_precision)
+                cfg.item_block, cfg.user_block, cfg.matmul_precision,
+                cfg.tail_impl)
 
     betasum = jnp.sum(state.beta.e, axis=0)        # old beta [K], replicated
     theta = _gam(cfg.a + res.acc_a, cfg.b + betasum, row_mask)
@@ -134,7 +135,8 @@ def _step_hpf(state, data, cfg, mode, axis_name=None, row_mask=None):
     eb_u = state.theta_bias.elog if cfg.bias else None
     eb_i = state.beta_bias.elog if cfg.bias else None
     res = sweep(state.theta.elog, state.beta.elog, eb_u, eb_i, data, mode,
-                cfg.item_block, cfg.user_block, cfg.matmul_precision)
+                cfg.item_block, cfg.user_block, cfg.matmul_precision,
+                cfg.tail_impl)
 
     # theta: prior rate := E[xi] per row (replacing b), plus old-beta colsum
     betarowsum = jnp.sum(state.beta.e, axis=0)     # [K], replicated
@@ -171,7 +173,8 @@ def _step_hpf(state, data, cfg, mode, axis_name=None, row_mask=None):
 def _step_mle_user(state, data, cfg, mode, axis_name=None, row_mask=None):
     log_td_old = jnp.log(state.theta_mle)
     res = sweep(log_td_old, state.beta.elog, None, None, data, mode,
-                cfg.item_block, cfg.user_block, cfg.matmul_precision)
+                cfg.item_block, cfg.user_block, cfg.matmul_precision,
+                cfg.tail_impl)
     betasum = jnp.sum(state.beta.e, axis=0)        # old beta [K], replicated
     td = res.acc_a / betasum[None, :]                        # EM normalize
     thetasum = _usum(td, axis_name)
@@ -187,7 +190,8 @@ def _step_mle_item(state, data, cfg, mode, canny: bool, axis_name=None,
                    row_mask=None):
     log_bd_old = jnp.log(state.beta_mle)
     res = sweep(state.theta.elog, log_bd_old, None, None, data, mode,
-                cfg.item_block, cfg.user_block, cfg.matmul_precision)
+                cfg.item_block, cfg.user_block, cfg.matmul_precision,
+                cfg.tail_impl)
     thetasum = _usum(state.theta.e, axis_name)               # old theta [K]
     acc_b = _ipsum(res.acc_b, axis_name)
     if canny:

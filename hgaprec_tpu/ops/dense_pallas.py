@@ -153,7 +153,13 @@ def fused_dense_sweep(a_lin: jax.Array, b_lin: jax.Array,
     if bf16:
         # cast once here (XLA, fused with the upstream exp) rather than
         # per tile in the kernel; bf16 B also halves the dominant B
-        # re-read HBM traffic (B streams through VMEM once per user tile)
+        # re-read HBM traffic (B streams through VMEM once per user tile).
+        # NB in the bias variant this also rounds ba/bb (packed into the
+        # lane-padding columns above) and the rowsum/colsum(w) bias
+        # statistics to bf16 inputs — accepted serving-config error
+        # < 2e-2 relative (tests/test_dense_pallas.py::
+        # test_fused_bias_bf16_close_to_f32), same bound as the factor
+        # accumulators.
         a_lin = a_lin.astype(jnp.bfloat16)
         b_lin = b_lin.astype(jnp.bfloat16)
     a = _pad_axis(_pad_axis(a_lin, kp, 1), tile_u, 0)

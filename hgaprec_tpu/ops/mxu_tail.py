@@ -4,7 +4,7 @@ NOTE: on TPU hardware the production tail is now the Pallas kernel in
 ops/pallas_tail.py (windowed DMA + VMEM accumulator ring, one gather
 per nonzero per half — measured 29 vs 41 ns/nnz for this module's
 two-pass XLA sweep at EchoNest tail shape). This module remains the
-portable fallback (CPU, f32-precision parity runs, HGAPREC_TAIL=mxu)
+portable fallback (CPU, strict-f32 parity runs, tail_impl="mxu")
 and the correctness oracle for the kernel's tests.
 
 The chunked segment sweep (ops/sweep.py::_segment_onepass_lin) pays an
@@ -108,20 +108,65 @@ class TailCompact:
 
 def build_tail_compact(u: np.ndarray, i: np.ndarray, y: np.ndarray,
                        *, pad_multiple: int = DEF_CHUNK,
-                       n_users: int = 0) -> Optional[TailCompact]:
-    """Compact a user-sorted COO stream. Returns None when empty.
+                       n_users: int = 0,
+                       stream_pad_to: int = 0,
+                       users_pad_to: int = 0,
+                       items_pad_to: int = 0,
+                       to_jax: bool = True) -> Optional[TailCompact]:
+    """Compact a user-sorted COO stream. Returns None when empty
+    (unless stream_pad_to forces an all-padding stream — the sharded
+    SPMD layout needs every shard to carry identically-shaped leaves
+    even when a shard's tail happens to be empty).
 
     n_users > 0 additionally tries to build the identity-primary
-    metadata for the Pallas kernel (see TailCompact.w0_ur)."""
-    if u.size == 0:
+    metadata for the Pallas kernel (see TailCompact.w0_ur).
+
+    stream_pad_to / users_pad_to / items_pad_to: pad the stream and the
+    active-id lists to these exact lengths so every shard of a
+    shard_map'ed mesh sees the same shapes (parallel/sharded.py).
+    Stream padding repeats the last compact id with y = 0 (preserving
+    sortedness and the window-span invariant); id-list padding appends
+    DISTINCT ascending ids past the last real one, so the expansion
+    scatters keep their sorted/unique promises — in-bounds pads write
+    zero rows over zero rows, out-of-bounds pads are dropped (JAX
+    scatter semantics), and gathers of any in/out-of-bounds pad produce
+    rows the stream never references.
+    """
+    if u.size == 0 and stream_pad_to == 0:
         return None
+    if u.size == 0:
+        # empty shard in an SPMD build: one fake nonzero with y = 0 on
+        # ids 0/0 — contributes nothing, keeps every invariant
+        u = np.zeros(1, np.int32)
+        i = np.zeros(1, np.int32)
+        y = np.zeros(1, np.float32)
     users, cu = np.unique(u, return_inverse=True)
     items, ci = np.unique(i, return_inverse=True)
+    users = users.astype(np.int32)
+    items = items.astype(np.int32)
     cu = cu.astype(np.int32)
     ci = ci.astype(np.int32)
     yf = y.astype(np.float32)
+    n_users_real = users.size            # pre-padding, for the 0.9 guard
+    if users_pad_to:
+        if users_pad_to < users.size:
+            raise ValueError(f"users_pad_to {users_pad_to} < {users.size}")
+        ext = users_pad_to - users.size
+        users = np.concatenate(
+            [users, users[-1] + 1 + np.arange(ext, dtype=np.int32)])
+    if items_pad_to:
+        if items_pad_to < items.size:
+            raise ValueError(f"items_pad_to {items_pad_to} < {items.size}")
+        ext = items_pad_to - items.size
+        items = np.concatenate(
+            [items, items[-1] + 1 + np.arange(ext, dtype=np.int32)])
     order = np.argsort(ci, kind="stable")
     pt = -(-u.size // pad_multiple) * pad_multiple
+    if stream_pad_to:
+        if stream_pad_to < pt or stream_pad_to % pad_multiple:
+            raise ValueError(f"stream_pad_to {stream_pad_to} invalid for "
+                             f"nnz {u.size}, pad_multiple {pad_multiple}")
+        pt = stream_pad_to
     pad = pt - u.size
 
     def hpad(x, fill):
@@ -133,32 +178,33 @@ def build_tail_compact(u: np.ndarray, i: np.ndarray, y: np.ndarray,
     # its chunk granularity
     w0_u = l_u = w0_i = l_i = None
     w0_ur = l_ur = u_i_raw = None
+    conv = jnp.asarray if to_jax else np.asarray
     if pad_multiple == DEF_CHUNK:
         from hgaprec_tpu.ops.pallas_tail import chunk_windows
         w0u_np, lu_np = chunk_windows(cu_p)
         w0i_np, li_np = chunk_windows(ci_ip)
-        w0_u, l_u = jnp.asarray(w0u_np), jnp.asarray(lu_np)
-        w0_i, l_i = jnp.asarray(w0i_np), jnp.asarray(li_np)
-        if n_users > 0 and users.size >= 0.9 * n_users:
+        w0_u, l_u = conv(w0u_np), conv(lu_np)
+        w0_i, l_i = conv(w0i_np), conv(li_np)
+        if n_users > 0 and n_users_real >= 0.9 * n_users:
             u_p = hpad(u.astype(np.int32), np.int32(u[-1]))
             try:
                 w0ur_np, lur_np = chunk_windows(u_p)
-            except AssertionError:
+            except ValueError:
                 pass   # raw gaps too wide for the window — compact only
             else:
-                w0_ur = jnp.asarray(w0ur_np)
-                l_ur = jnp.asarray(lur_np)
-                u_i_raw = jnp.asarray(
+                w0_ur = conv(w0ur_np)
+                l_ur = conv(lur_np)
+                u_i_raw = conv(
                     hpad(u[order].astype(np.int32), np.int32(u[-1])))
 
     return TailCompact(
-        cu=jnp.asarray(cu_p), ci=jnp.asarray(hpad(ci, ci[-1])),
-        y=jnp.asarray(hpad(yf, 0.0)),
-        cu_i=jnp.asarray(hpad(cu[order], cu[order][-1])),
-        ci_i=jnp.asarray(ci_ip),
-        y_i=jnp.asarray(hpad(yf[order], 0.0)),
-        users=jnp.asarray(users.astype(np.int32)),
-        items=jnp.asarray(items.astype(np.int32)),
+        cu=conv(cu_p), ci=conv(hpad(ci, ci[-1])),
+        y=conv(hpad(yf, 0.0)),
+        cu_i=conv(hpad(cu[order], cu[order][-1])),
+        ci_i=conv(ci_ip),
+        y_i=conv(hpad(yf[order], 0.0)),
+        users=conv(users.astype(np.int32)),
+        items=conv(items.astype(np.int32)),
         w0_u=w0_u, l_u=l_u, w0_i=w0_i, l_i=l_i,
         w0_ur=w0_ur, l_ur=l_ur, u_i_raw=u_i_raw,
     )
@@ -280,14 +326,14 @@ def mxu_tail_sweep(a_lin: jax.Array, b_lin: jax.Array,
 
     # expand compact accumulators to full index space (unique-index set)
     acc_a = jnp.zeros((n, k), jnp.float32).at[tc.users].set(
-        acc_a_c[:na, :k], unique_indices=True, indices_are_sorted=True)
+        acc_a_c[:na, :k], unique_indices=True, indices_are_sorted=True, mode="drop")
     acc_b = jnp.zeros((m, k), jnp.float32).at[tc.items].set(
-        acc_b_c[:mt, :k], unique_indices=True, indices_are_sorted=True)
+        acc_b_c[:mt, :k], unique_indices=True, indices_are_sorted=True, mode="drop")
     if bias:
         acc_ba = jnp.zeros((n,), jnp.float32).at[tc.users].set(
-            acc_a_c[:na, k], unique_indices=True, indices_are_sorted=True)
+            acc_a_c[:na, k], unique_indices=True, indices_are_sorted=True, mode="drop")
         acc_bb = jnp.zeros((m,), jnp.float32).at[tc.items].set(
             acc_b_c[:mt, k + 1], unique_indices=True,
-            indices_are_sorted=True)
+            indices_are_sorted=True, mode="drop")
         return acc_a, acc_b, acc_ba, acc_bb
     return acc_a, acc_b, None, None

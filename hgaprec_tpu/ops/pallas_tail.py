@@ -80,13 +80,21 @@ def chunk_windows(ids, *, chunk: int = CHUNK, align: int = ALIGN):
     ids: np.i32[PT] sorted, PT % chunk == 0 (padding repeats the last
     real id, preserving both sortedness and the span bound). Returns
     (w0 i32[PT//chunk], local i32[PT]) with local in [0, chunk+align).
+
+    Raises ValueError (not assert — validation must survive python -O)
+    when the stream violates the span invariant; build_tail_compact
+    catches it and skips the raw-id metadata.
     """
     import numpy as np
-    assert ids.size % chunk == 0
+    if ids.size % chunk != 0:
+        raise ValueError(f"id stream length {ids.size} not a multiple "
+                         f"of chunk {chunk}")
     w0 = (ids[::chunk] // align) * align
     local = ids - np.repeat(w0, chunk)
-    assert local.min() >= 0 and local.max() < chunk + align, \
-        "sorted-chunk span invariant violated"
+    if local.min() < 0 or local.max() >= chunk + align:
+        raise ValueError("sorted-chunk span invariant violated: local id "
+                         f"range [{local.min()}, {local.max()}] outside "
+                         f"[0, {chunk + align})")
     return w0.astype(np.int32), local.astype(np.int32)
 
 
@@ -191,6 +199,27 @@ def _kernel(w0_ref, l_ref, y_ref, og_ref, ptab_ref, out_ref,
                 sems.at[2])
             fdma.start()
             fdma.wait()
+        # Zero-fill every output row past the final ring: out is
+        # uninitialized HBM, and identity-primary streams can leave
+        # trailing primary rows (users beyond the last window + SPAN)
+        # unwritten — they must read as zero contributions, not garbage.
+        # om and b are both FLUSH multiples, so the loop tiles exactly.
+        acc_ref[0:FLUSH, :] = jnp.zeros((FLUSH, kp), jnp.float32)
+        om = out_ref.shape[0]
+
+        def _below_om(b2):
+            return b2 < om
+
+        def _zero_fill(b2):
+            fdma = pltpu.make_async_copy(
+                acc_ref.at[0:FLUSH],
+                out_ref.at[pl.ds(pl.multiple_of(b2, FLUSH), FLUSH)],
+                sems.at[2])
+            fdma.start()
+            fdma.wait()
+            return b2 + FLUSH
+
+        lax.while_loop(_below_om, _zero_fill, b + WR)
 
 
 @functools.partial(jax.jit,
@@ -331,21 +360,21 @@ def pallas_tail_sweep(a_lin: jax.Array, b_lin: jax.Array,
                                     interpret=interpret)
         og_i = a_t[tc.cu_i]
         acc_a = jnp.zeros((n, k), jnp.float32).at[tc.users].set(
-            acc_a_c[:, :k], unique_indices=True, indices_are_sorted=True)
+            acc_a_c[:, :k], unique_indices=True, indices_are_sorted=True, mode="drop")
     acc_b_c = pallas_half_sweep(b_t, og_i, tc.l_i, tc.w0_i, tc.y_i,
                                 np_rows=mt, bf16=bf16, interpret=interpret)
 
     acc_b = jnp.zeros((m, k), jnp.float32).at[tc.items].set(
-        acc_b_c[:, :k], unique_indices=True, indices_are_sorted=True)
+        acc_b_c[:, :k], unique_indices=True, indices_are_sorted=True, mode="drop")
     if bias:
         if ident_u:
             acc_ba = acc_a_c[:, k]
         else:
             acc_ba = jnp.zeros((n,), jnp.float32).at[tc.users].set(
                 acc_a_c[:, k], unique_indices=True,
-                indices_are_sorted=True)
+                indices_are_sorted=True, mode="drop")
         acc_bb = jnp.zeros((m,), jnp.float32).at[tc.items].set(
             acc_b_c[:, k + 1], unique_indices=True,
-            indices_are_sorted=True)
+            indices_are_sorted=True, mode="drop")
         return acc_a, acc_b, acc_ba, acc_bb
     return acc_a, acc_b, None, None

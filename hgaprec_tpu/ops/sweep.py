@@ -297,6 +297,7 @@ def sweep_hybrid(elog_a: jax.Array, elog_b: jax.Array,
                  elog_bias_b: Optional[jax.Array],
                  data: DeviceData, *, bf16: bool = False,
                  chunk: int = SEGMENT_CHUNK,
+                 tail_impl: str = "auto",
                  interpret: bool = False) -> SweepResult:
     """Head/tail hybrid sweep for power-law catalogs too wide to densify.
 
@@ -305,11 +306,22 @@ def sweep_hybrid(elog_a: jax.Array, elog_b: jax.Array,
     carry most nonzeros. Build time splits the COO: nonzeros whose item
     is among the top-T by degree land in a dense uint8 [N, T] block
     (head_dense_y, columns = head_items) and run through the fused MXU
-    kernel; the tail runs the MXU-native compact sweep (ops/mxu_tail.py)
-    when the compact stream was built, else the one-pass segment sweep.
+    kernel; the tail runs the Pallas windowed-DMA kernel on TPU (the
+    MXU-native compact sweep, ops/mxu_tail.py, elsewhere) when the
+    compact stream was built, else the one-pass segment sweep.
     All paths share the identical denominator s = <A[u], B[i]>
     (+ biases), so the result equals the pure segment sweep up to f32
-    summation order."""
+    summation order.
+
+    Tail dtype policy: the Pallas tail always runs bf16 factor tables,
+    independent of the global `bf16` (matmul-precision) flag. The f32
+    variant's doubled og/window/one-hot buffers exceed the 16 MB VMEM
+    budget (measured OOM at EchoNest scale), and the kernel's one-hot
+    row SELECT is exact in bf16 — only the K-wide FMA sees bf16-rounded
+    row values, accumulated in f32 (measured agreement vs the f32 MXU
+    tail: see tests/test_pallas_tail.py::test_bf16_tail_vs_f32_mxu and
+    docs/artifacts). Strict-f32 parity runs set tail_impl="mxu".
+    """
     from hgaprec_tpu.ops.dense_pallas import fused_dense_sweep
     bias = elog_bias_a is not None
     a_lin = jnp.exp(elog_a)
@@ -326,23 +338,17 @@ def sweep_hybrid(elog_a: jax.Array, elog_b: jax.Array,
 
     if data.tail_compact is not None:
         tc = data.tail_compact
-        # Pallas tail kernel (one gather per nonzero, VMEM accumulator
-        # ring) on TPU; the XLA two-pass MXU tail stays the portable
-        # fallback. HGAPREC_TAIL=mxu forces the fallback for A/B runs.
-        # bf16-only on hardware: the f32 variant's doubled og/window/
-        # one-hot buffers exceed the 16 MB VMEM budget (measured OOM at
-        # EchoNest scale); f32 is the parity/debug config and keeps the
-        # XLA tail.
-        import os
-        use_pallas = (tc.w0_u is not None
-                      and bf16
-                      and jax.default_backend() == "tpu"
-                      and os.environ.get("HGAPREC_TAIL", "pallas")
-                      == "pallas")
-        if use_pallas:
+        impl = tail_impl
+        if impl == "auto":
+            impl = ("pallas" if jax.default_backend() == "tpu"
+                    else "mxu")
+        if impl == "pallas" and tc.w0_u is None:
+            impl = "mxu"     # no window metadata (non-default chunk)
+        if impl == "pallas":
             from hgaprec_tpu.ops.pallas_tail import pallas_tail_sweep
             tail = SweepResult(*pallas_tail_sweep(
-                a_lin, b_lin, ba_lin, bb_lin, tc, bf16=bf16))
+                a_lin, b_lin, ba_lin, bb_lin, tc, bf16=True,
+                interpret=interpret))
         else:
             from hgaprec_tpu.ops.mxu_tail import mxu_tail_sweep
             tail = SweepResult(*mxu_tail_sweep(
@@ -363,7 +369,8 @@ def sweep_hybrid(elog_a: jax.Array, elog_b: jax.Array,
 
 def sweep(elog_a, elog_b, elog_bias_a, elog_bias_b, data: DeviceData,
           mode: str, item_block: int = 4096, user_block: int = 16384,
-          precision: str = "highest") -> SweepResult:
+          precision: str = "highest", tail_impl: str = "auto"
+          ) -> SweepResult:
     if mode in ("dense", "dense-pallas"):
         if data.dense_y is None:
             raise ValueError("dense sweep requested but dense_y not built")
@@ -395,6 +402,7 @@ def sweep(elog_a, elog_b, elog_bias_a, elog_bias_b, data: DeviceData,
                              "hybrid_head_items)")
         return sweep_hybrid(elog_a, elog_b, elog_bias_a, elog_bias_b,
                             data, bf16=(precision == "default"),
+                            tail_impl=tail_impl,
                             interpret=jax.default_backend() != "tpu")
     if (mode == "segment-chunked" or
             data.u_ids.shape[0] > SEGMENT_CHUNK_THRESHOLD):

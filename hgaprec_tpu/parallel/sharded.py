@@ -38,6 +38,7 @@ from hgaprec_tpu.data.device import DeviceData
 from hgaprec_tpu.data.ratings import RatingsStore
 from hgaprec_tpu.models.state import Gam, ModelState, init_state
 from hgaprec_tpu.models.step import cavi_step
+from hgaprec_tpu.ops.mxu_tail import TailCompact as TailCompactType
 
 AXIS = "d"
 
@@ -158,9 +159,22 @@ class ShardedRun:
             beta_prior_elog=row(st.beta_prior_elog, False))
 
 
+def _allgather_max(vals) -> np.ndarray:
+    """Elementwise max of a small int vector across processes."""
+    arr = np.asarray(vals, np.int64)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        allv = multihost_utils.process_allgather(arr)
+        arr = np.max(np.asarray(allv).reshape(jax.process_count(), -1),
+                     axis=0)
+    return arr
+
+
 def build_sharded_data(store: RatingsStore, n_padded: int, mesh: Mesh,
                        *, pad_multiple: int = 256, dense: bool = True,
-                       dense_limit_bytes: int = 10 << 30) -> DeviceData:
+                       dense_limit_bytes: int = 10 << 30,
+                       hybrid_head_items: int = 0,
+                       head_limit_bytes: int = 4 << 30) -> DeviceData:
     """Partition training nonzeros by user block; local ids, equal pads.
 
     Construction is per-device: each process builds and transfers only
@@ -170,6 +184,26 @@ def build_sharded_data(store: RatingsStore, n_padded: int, mesh: Mesh,
     selection by global user id works for both. The equal padded length
     per shard needs the GLOBAL max shard nnz: with a row-sliced store the
     local maxima are combined with one tiny process allgather.
+
+    hybrid_head_items > 0 on a catalog too wide to densify builds the
+    head/tail hybrid layout per shard (VERDICT r4 #1 — previously
+    multi-chip silently degraded big-sparse runs to the segment sweep):
+
+      * head: the GLOBAL top-T items by degree (degrees allgather-summed
+        across processes so every shard agrees on the head set) as a
+        dense uint8 [n_local, T] row block per shard — partitions with
+        the user axis exactly like dense_y;
+      * tail: each shard's remaining nonzeros as a per-shard TailCompact
+        (user-sorted, LOCAL user ids / GLOBAL item ids) padded to
+        global-maximum shapes so shard_map sees uniform leaves
+        (build_tail_compact stream/users/items_pad_to). Window metadata
+        is per-shard host work; identity-primary is skipped (its
+        presence could differ across shards and SPMD traces one
+        program).
+
+    The only new cross-device traffic in the step is the psum of the
+    tail+head item-side accumulators, which the hybrid sweep already
+    merges into acc_b before cavi_step's existing _ipsum.
     """
     ndev = mesh.devices.size
     n_local = n_padded // ndev
@@ -178,18 +212,55 @@ def build_sharded_data(store: RatingsStore, n_padded: int, mesh: Mesh,
     shard_of = u // n_local
     counts = np.bincount(shard_of, minlength=ndev)
     max_len = int(counts.max()) if counts.size else 1
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-        all_max = multihost_utils.process_allgather(
-            np.asarray([max_len], np.int64))
-        max_len = int(np.max(all_max))
+    max_len = int(_allgather_max([max_len])[0])
     p_local = max(pad_multiple,
                   -(-max(max_len, 1) // pad_multiple) * pad_multiple)
     want_dense = dense and n_padded * m <= dense_limit_bytes and m > 0
 
+    # ---- hybrid head sizing + global head set (uniform across procs) ----
+    from hgaprec_tpu.ops.mxu_tail import DEF_CHUNK, build_tail_compact
+    t = 0
+    if not want_dense and hybrid_head_items > 0 and m > 0:
+        t = min(hybrid_head_items, m)
+        budget = head_limit_bytes // max(n_local, 1)
+        if budget < min(t, 512):
+            t = 0            # can't fit even a 512-column head block
+        else:
+            t = min(t, budget)
+            if t >= 512:
+                t = (t // 512) * 512
+    col_of = in_head = head_ids = None
+    if t > 0:
+        deg = np.bincount(i, minlength=m).astype(np.int64)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            deg = np.sum(np.asarray(
+                multihost_utils.process_allgather(deg)).reshape(
+                    jax.process_count(), m), axis=0)
+        head_ids = np.sort(
+            np.argsort(-deg, kind="stable")[:t]).astype(np.int32)
+        col_of = np.full(m, -1, np.int32)
+        col_of[head_ids] = np.arange(t, dtype=np.int32)
+        in_head = col_of[i] >= 0
+
     order_by_shard = np.argsort(shard_of, kind="stable")
     starts = np.zeros(ndev + 1, np.int64)
     np.cumsum(counts, out=starts[1:])
+
+    # ---- per-shard tail stats -> global maxima (SPMD-uniform shapes) ----
+    tail_pt = tail_na = tail_mt = 0
+    if t > 0:
+        ln = na = mt = 1
+        for d in range(ndev):
+            sel = order_by_shard[starts[d]:starts[d + 1]]
+            tl = sel[~in_head[sel]]
+            ln = max(ln, tl.size)
+            if tl.size:
+                na = max(na, np.unique(u[tl]).size)
+                mt = max(mt, np.unique(i[tl]).size)
+        ln, na, mt = (int(v) for v in _allgather_max([ln, na, mt]))
+        tail_pt = -(-ln // DEF_CHUNK) * DEF_CHUNK
+        tail_na, tail_mt = na, mt
 
     def shard_coo(d):
         sel = order_by_shard[starts[d]:starts[d + 1]]
@@ -201,23 +272,31 @@ def build_sharded_data(store: RatingsStore, n_padded: int, mesh: Mesh,
         ii2 = np.concatenate([ii, np.full(pad, max(m - 1, 0), np.int32)])
         yy2 = np.concatenate([yy, np.zeros(pad, np.float32)])
         item_order = np.lexsort((uu2, ii2)).astype(np.int32)
-        dy = None
+        dy = head_dy = tc = None
         if want_dense:
             dy = np.zeros((n_local, m), np.uint8)
             dy[uu, ii] = np.minimum(yy, 255).astype(np.uint8)
-        return uu2, ii2, yy2, item_order, dy
+        if t > 0:
+            mh = in_head[sel]
+            head_dy = np.zeros((n_local, t), np.uint8)
+            head_dy[uu[mh], col_of[ii[mh]]] = np.minimum(yy[mh], 255)
+            # store order is (u, i)-lexsorted and the stable shard sort
+            # preserves it, so the masked tail stream stays user-sorted
+            tc = build_tail_compact(
+                uu[~mh], ii[~mh], yy[~mh], stream_pad_to=tail_pt,
+                users_pad_to=tail_na, items_pad_to=tail_mt, to_jax=False)
+        return uu2, ii2, yy2, item_order, dy, head_dy, tc
 
     # build each addressable shard once, assemble all leaves
     cache = {}
 
+    def get(d):
+        if d not in cache:
+            cache[d] = shard_coo(d)
+        return cache[d]
+
     def leaf(pos, spec, shape):
-        def get(d):
-            if d not in cache:
-                cache[d] = shard_coo(d)
-            return cache[d][pos] if pos < 4 else None
-        if pos < 4:
-            return _assemble(mesh, spec, get, shape)
-        return None
+        return _assemble(mesh, spec, lambda d: get(d)[pos], shape)
 
     p_global = ndev * p_local
     u_ids = leaf(0, P(AXIS), (p_global,))
@@ -225,17 +304,41 @@ def build_sharded_data(store: RatingsStore, n_padded: int, mesh: Mesh,
     y_arr = leaf(2, P(AXIS), (p_global,))
     item_order = leaf(3, P(AXIS), (p_global,))
     i_ids_sorted = _assemble(
-        mesh, P(AXIS), lambda d: cache[d][1][cache[d][3]], (p_global,))
+        mesh, P(AXIS), lambda d: get(d)[1][get(d)[3]], (p_global,))
     u_ids_by_item = _assemble(
-        mesh, P(AXIS), lambda d: cache[d][0][cache[d][3]], (p_global,))
+        mesh, P(AXIS), lambda d: get(d)[0][get(d)[3]], (p_global,))
     dense_y = None
     if want_dense:
-        dense_y = _assemble(mesh, P(AXIS, None), lambda d: cache[d][4],
+        dense_y = _assemble(mesh, P(AXIS, None), lambda d: get(d)[4],
                             (n_padded, m))
+    head_items_dev = head_dense = tail_compact = None
+    if t > 0:
+        head_items_dev = _replicated(mesh, P(None), head_ids)
+        head_dense = _assemble(mesh, P(AXIS, None), lambda d: get(d)[5],
+                               (n_padded, t))
+
+        def tcl(name, llen):
+            return _assemble(
+                mesh, P(AXIS),
+                lambda d: np.asarray(getattr(get(d)[6], name)),
+                (ndev * llen,))
+
+        nw = tail_pt // DEF_CHUNK
+        tail_compact = TailCompactType(
+            cu=tcl("cu", tail_pt), ci=tcl("ci", tail_pt),
+            y=tcl("y", tail_pt), cu_i=tcl("cu_i", tail_pt),
+            ci_i=tcl("ci_i", tail_pt), y_i=tcl("y_i", tail_pt),
+            users=tcl("users", tail_na), items=tcl("items", tail_mt),
+            w0_u=tcl("w0_u", nw), l_u=tcl("l_u", tail_pt),
+            w0_i=tcl("w0_i", nw), l_i=tcl("l_i", tail_pt),
+            w0_ur=None, l_ur=None, u_i_raw=None)
     return DeviceData(
         u_ids=u_ids, i_ids=i_ids, y=y_arr, item_order=item_order,
         i_ids_sorted=i_ids_sorted, u_ids_by_item=u_ids_by_item,
         dense_y=dense_y,
+        head_items=head_items_dev,
+        head_dense_y=head_dense,
+        tail_compact=tail_compact,
     )
 
 
@@ -264,10 +367,26 @@ def _state_specs(cfg: ModelConfig):
 
 
 def _data_specs(data: DeviceData):
+    tc_spec = None
+    if data.tail_compact is not None:
+        tc = data.tail_compact
+        row = P(AXIS)
+        tc_spec = TailCompactType(
+            cu=row, ci=row, y=row, cu_i=row, ci_i=row, y_i=row,
+            users=row, items=row,
+            w0_u=(row if tc.w0_u is not None else None),
+            l_u=(row if tc.l_u is not None else None),
+            w0_i=(row if tc.w0_i is not None else None),
+            l_i=(row if tc.l_i is not None else None),
+            w0_ur=None, l_ur=None, u_i_raw=None)
     return DeviceData(
         u_ids=P(AXIS), i_ids=P(AXIS), y=P(AXIS), item_order=P(AXIS),
         i_ids_sorted=P(AXIS), u_ids_by_item=P(AXIS),
-        dense_y=(None if data.dense_y is None else P(AXIS, None)))
+        dense_y=(None if data.dense_y is None else P(AXIS, None)),
+        head_items=(None if data.head_items is None else P(None)),
+        head_dense_y=(None if data.head_dense_y is None
+                      else P(AXIS, None)),
+        tail_compact=tc_spec)
 
 
 def build_sharded_run(store: RatingsStore, cfg: ModelConfig,
@@ -284,9 +403,19 @@ def build_sharded_run(store: RatingsStore, cfg: ModelConfig,
     pcfg = dataclasses.replace(cfg, n=n_padded)
     if dense is None:
         dense = pcfg.resolve_sweep() == "dense"
-    if dense and n_padded // ndev > 4096:
-        # per-shard dense rows must tile cleanly (see data/device.py on
-        # the odd-N landmine); round the local row count to a 512 multiple
+    # hybrid head/tail: same decision as the single-device Trainer
+    # (models/engine.py) — any catalog too wide to densify gets the head
+    # block; explicit sweep='hybrid' always builds it
+    will_densify = (dense and n_padded * store.m <= cfg.dense_limit_bytes
+                    and store.m > 0)
+    if cfg.sweep == "hybrid" or (cfg.sweep == "auto" and not will_densify):
+        head = cfg.hybrid_head_items
+    else:
+        head = 0
+    if (dense or head > 0) and n_padded // ndev > 4096:
+        # per-shard dense/head rows must tile cleanly (see data/device.py
+        # on the odd-N landmine); round the local row count to a 512
+        # multiple
         n_local = -(-(n_padded // ndev) // 512) * 512
         n_padded = n_local * ndev
         pcfg = dataclasses.replace(cfg, n=n_padded)
@@ -309,7 +438,9 @@ def build_sharded_run(store: RatingsStore, cfg: ModelConfig,
                 f"user_rows=parallel.distributed.host_user_rows")
 
     data = build_sharded_data(store, n_padded, mesh,
-                              pad_multiple=pad_multiple, dense=dense)
+                              pad_multiple=pad_multiple, dense=dense,
+                              dense_limit_bytes=cfg.dense_limit_bytes,
+                              hybrid_head_items=head)
 
     # Deterministic init on host at true n (identical on every process —
     # same seed, same draw order), then each process places only the row

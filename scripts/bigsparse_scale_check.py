@@ -228,16 +228,20 @@ def main():
                    tail_nnz=int(ut.size))
 
     state = None
-    # tail impl is chosen at trace time from HGAPREC_TAIL (sweep.py);
-    # pallas is the TPU default, mxu the portable fallback
+    # tail impl is a static config field (cfg.tail_impl) so every row
+    # below is guaranteed to measure the implementation it names — the
+    # jit cache key includes it (advisor r4). pallas is the TPU default
+    # (also under -precision highest: the tail runs bf16 tables
+    # regardless, see sweep_hybrid's dtype policy), mxu the portable
+    # fallback and the strict-f32 config.
     for dd, prec, tailimpl, tag in (
             (data_h, "default", "pallas", "hybrid_bf16"),
             (data_hm, "default", "pallas", "hybrid_pallas_bf16"),
+            (data_hm, "highest", "pallas", "hybrid_pallas_f32state"),
             (data_hm, "default", "mxu", "hybrid_mxu_bf16"),
             (data_hm, "highest", "mxu", "hybrid_mxu_f32")):
-        os.environ["HGAPREC_TAIL"] = tailimpl
         cfg = ModelConfig(n=n, m=m, k=K, variant="hpf", sweep="hybrid",
-                          matmul_precision=prec)
+                          matmul_precision=prec, tail_impl=tailimpl)
         try:
             ms, state = time_mode(cfg, dd, tag)
         except Exception as e:  # record and continue — partial artifacts
@@ -247,7 +251,6 @@ def main():
         results[f"ms_per_iter_{tag}"] = round(ms, 1)
         results[f"{tag}_ns_per_nnz"] = round(ms * 1e6 / nnz, 1)
         write_results()
-    os.environ.pop("HGAPREC_TAIL", None)
 
     # tail-only microbench: ns per tail nonzero through the MXU sweep
     # (VERDICT r2 #2 asks for the tail cost alone vs the ~54 ns/nnz

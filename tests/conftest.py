@@ -1,12 +1,21 @@
-"""Test harness: force an 8-device CPU mesh before JAX initializes."""
+"""Test harness: force an 8-device CPU mesh before JAX initializes.
+
+HGAPREC_TEST_TPU=1 keeps the real TPU backend instead, for the
+hardware-marked suites (test_pallas_tail_hw.py) that must execute
+compiled Mosaic kernels; everything else skips itself on TPU or runs
+fine either way.
+"""
 
 import os
+
+_USE_TPU = os.environ.get("HGAPREC_TEST_TPU") == "1"
 
 # Force CPU with 8 virtual devices: the shell env pins JAX_PLATFORMS to the
 # TPU plugin, and TPU default precision would perturb the f32 golden
 # comparisons. NOTE: JAX snapshots JAX_PLATFORMS at import time, so the env
 # var must be overridden through jax.config, not os.environ.
-os.environ["JAX_PLATFORMS"] = "cpu"   # for any subprocesses
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"   # for any subprocesses
 flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,7 +23,8 @@ if "--xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

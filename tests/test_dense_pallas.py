@@ -89,6 +89,27 @@ def test_fused_bias_matches_xla_dense(rng):
                                atol=1e-5)
 
 
+def test_fused_bias_bf16_close_to_f32(rng):
+    """Bias variant, bf16 vs f32 (ADVICE r4: in bf16 mode the bias
+    expectations enter the score through the matmul and the bias
+    statistics rowsum/colsum(w) are reduced in bf16 — pin the accepted
+    error bound for the serving config)."""
+    store, _, _ = make_synthetic(rng, n=45, m=29, density=0.3)
+    data = build_device_data(store, pad_multiple=16)
+    k = 4
+    args = [jnp.exp(jnp.asarray(
+        rng.normal(size=s).astype(np.float32) * 0.3))
+        for s in ((store.n, k), (store.m, k), (store.n,), (store.m,))]
+    f32 = fused_dense_sweep(*args[:2], data.dense_y, *args[2:],
+                            tile_u=8, tile_c=16, interpret=True)
+    bf = fused_dense_sweep(*args[:2], data.dense_y, *args[2:],
+                           bf16=True, tile_u=8, tile_c=16, interpret=True)
+    for r, g in zip(f32, bf):
+        r, g = np.asarray(r), np.asarray(g)
+        denom = np.maximum(np.abs(r), 1e-3)
+        assert np.max(np.abs(g - r) / denom) < 2e-2
+
+
 def test_row_padded_y(rng):
     """dense_y rows padded past N at build time (odd-N fix): both the
     Pallas kernel and the XLA dense path must slice back to N."""

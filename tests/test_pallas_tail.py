@@ -136,10 +136,101 @@ def test_bf16_close_to_f32():
                                rtol=3e-2, atol=3e-2)
 
 
-def test_sweep_hybrid_env_fallback(monkeypatch):
-    # off-TPU the hybrid path must keep using the portable MXU tail
-    from hgaprec_tpu.ops import sweep as sweep_mod
-    assert jax.default_backend() != "tpu" or True
-    # covered structurally: use_pallas requires backend == "tpu"
-    monkeypatch.setenv("HGAPREC_TAIL", "mxu")
-    assert sweep_mod is not None
+def _hybrid_data(rng, n=60, m=45):
+    from hgaprec_tpu.data.device import build_device_data
+    from hgaprec_tpu.data.ratings import RatingsStore
+    nnz = 600
+    u = np.sort(rng.integers(0, n, nnz)).astype(np.int64)
+    i = rng.integers(0, m, nnz).astype(np.int64)
+    y = rng.integers(1, 4, nnz).astype(np.float64)
+    store = RatingsStore(n, m)
+    store.add_training(u + 1, i + 1, y)
+    store.finalize()
+    return build_device_data(store, pad_multiple=64, dense=False,
+                             hybrid_head_items=8), store
+
+
+@pytest.mark.parametrize("tail_impl,expect", [
+    ("auto", "mxu"),       # off-TPU auto resolves to the portable tail
+    ("mxu", "mxu"),
+    ("pallas", "pallas"),  # forced -> interpret-mode kernel even on CPU
+])
+def test_sweep_hybrid_tail_dispatch(monkeypatch, tail_impl, expect):
+    """cfg.tail_impl actually selects the implementation (advisor r4:
+    the old env-var read was trace-time and untested)."""
+    import hgaprec_tpu.ops.mxu_tail as mxu_mod
+    import hgaprec_tpu.ops.pallas_tail as pallas_mod
+    from hgaprec_tpu.ops.sweep import sweep_hybrid
+
+    rng = np.random.default_rng(23)
+    data, store = _hybrid_data(rng)
+    assert data.tail_compact is not None
+    k = 6
+    elog_a = jnp.asarray(np.log(rng.random((store.n, k)) + 0.2))
+    elog_b = jnp.asarray(np.log(rng.random((store.m, k)) + 0.2))
+
+    called = []
+    real_mxu = mxu_mod.mxu_tail_sweep
+    real_pallas = pallas_mod.pallas_tail_sweep
+
+    def spy_mxu(*a, **kw):
+        called.append("mxu")
+        return real_mxu(*a, **kw)
+
+    def spy_pallas(*a, **kw):
+        called.append("pallas")
+        return real_pallas(*a, **kw)
+
+    monkeypatch.setattr(mxu_mod, "mxu_tail_sweep", spy_mxu)
+    monkeypatch.setattr(pallas_mod, "pallas_tail_sweep", spy_pallas)
+    res = sweep_hybrid(elog_a, elog_b, None, None, data,
+                       tail_impl=tail_impl, interpret=True)
+    assert called == [expect]
+    assert np.isfinite(np.asarray(res.acc_a)).all()
+
+
+def test_identity_primary_trailing_absent_users():
+    """ADVICE r4 (high): users past the last window + SPAN whose rows the
+    kernel never reaches must read ZERO, not uninitialized HBM. Trailing
+    10% of users absent (> SPAN ids past the stream max) while the 90%
+    presence guard still builds the identity-primary metadata."""
+    rng = np.random.default_rng(31)
+    n, m, k = 20000, 300, 8
+    n_present = 18000                       # == 0.9 * n, gap 2000 > SPAN
+    u = np.repeat(np.arange(n_present, dtype=np.int32), 1)
+    i = rng.integers(0, m, u.size).astype(np.int32)
+    order = np.lexsort((i, u))
+    u, i = u[order], i[order]
+    y = rng.integers(1, 4, u.size).astype(np.float32)
+    tc = build_tail_compact(u, i, y, n_users=n)
+    assert tc.w0_ur is not None             # identity metadata built
+    assert n - n_present > SPAN             # the adversarial regime
+    a = jnp.asarray(rng.random((n, k)), jnp.float32) + 0.1
+    b = jnp.asarray(rng.random((m, k)), jnp.float32) + 0.1
+    acc_a, acc_b, _, _ = pallas_tail_sweep(a, b, None, None, tc,
+                                           bf16=False, interpret=True)
+    assert acc_a.shape == (n, k)
+    # absent trailing users: exactly zero
+    np.testing.assert_array_equal(np.asarray(acc_a[n_present:]), 0.0)
+    # present users: match the oracle
+    ref = mxu_tail_sweep(a, b, None, None, tc, bf16=False)
+    np.testing.assert_allclose(np.asarray(acc_a), np.asarray(ref[0]),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_bf16_tail_vs_f32_mxu():
+    """The serving config (Pallas tail, bf16 tables) vs the strict-f32
+    MXU tail: the documented dtype-policy bound (sweep_hybrid docstring).
+    One-hot selects are exact in bf16; only the K-wide FMA sees rounded
+    row values, so agreement is at bf16 resolution of the accumulators."""
+    rng = np.random.default_rng(41)
+    u, i, y = _rand_coo(rng, 4000, 500, 6000)
+    tc = build_tail_compact(u, i, y)
+    a, b, _, _ = _tables(rng, tc, 16, False)
+    f32 = mxu_tail_sweep(a, b, None, None, tc, bf16=False)
+    bf = pallas_tail_sweep(a, b, None, None, tc, bf16=True,
+                           interpret=True)
+    for r, g in zip(f32[:2], bf[:2]):
+        r, g = np.asarray(r), np.asarray(g)
+        denom = np.maximum(np.abs(r), 1e-3)
+        assert np.max(np.abs(g - r) / denom) < 2e-2

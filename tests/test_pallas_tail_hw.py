@@ -1,0 +1,84 @@
+"""Hardware-only Pallas tail regression tests (VERDICT r4 #7).
+
+The interpret-mode tests in test_pallas_tail.py pin the kernel's
+semantics but never execute the real Mosaic lowering — the windowed
+DMA ring, semaphores, VMEM budget, and the final zero-fill flush only
+run on a TPU. This suite runs the compiled kernel on a ~100k-nnz
+stream so a Mosaic/VMEM regression (like the f32 variant's OOM, found
+the expensive way in a 40-minute bench run) is caught by `pytest` in
+the TPU environment instead.
+
+Run on hardware:  HGAPREC_TEST_TPU=1 python -m pytest \
+    tests/test_pallas_tail_hw.py -q
+(conftest forces CPU otherwise; skipped automatically off-TPU).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="executes the compiled Mosaic kernel; TPU only")
+
+
+def _stream(rng, n, m, nnz):
+    u = np.sort(rng.integers(0, n, nnz)).astype(np.int32)
+    i = rng.integers(0, m, nnz).astype(np.int32)
+    order = np.lexsort((i, u))
+    u, i = u[order], i[order]
+    y = rng.integers(1, 5, nnz).astype(np.float32)
+    return u, i, y
+
+
+@pytest.mark.parametrize("bias", [False, True])
+def test_pallas_vs_mxu_on_hardware(bias):
+    from hgaprec_tpu.ops.mxu_tail import build_tail_compact, mxu_tail_sweep
+    from hgaprec_tpu.ops.pallas_tail import pallas_tail_sweep
+
+    rng = np.random.default_rng(57)
+    n, m, k, nnz = 50_000, 8_000, 100, 120_000
+    u, i, y = _stream(rng, n, m, nnz)
+    tc = build_tail_compact(u, i, y, n_users=n)
+    a = jnp.asarray(rng.random((n, k)), jnp.float32) + 0.1
+    b = jnp.asarray(rng.random((m, k)), jnp.float32) + 0.1
+    ba = (jnp.asarray(rng.random((n,)), jnp.float32) + 0.05) if bias else None
+    bb = (jnp.asarray(rng.random((m,)), jnp.float32) + 0.05) if bias else None
+
+    ref = jax.jit(lambda: mxu_tail_sweep(a, b, ba, bb, tc, bf16=True))()
+    got = jax.jit(lambda: pallas_tail_sweep(a, b, ba, bb, tc, bf16=True))()
+    for r, g in zip(ref, got):
+        if r is None:
+            assert g is None
+            continue
+        r, g = np.asarray(r), np.asarray(g)
+        denom = np.maximum(np.abs(r), 1e-3)
+        assert np.max(np.abs(g - r) / denom) < 2e-2
+
+
+def test_identity_primary_trailing_rows_zero_on_hardware():
+    """The ADVICE r4 high finding reproduced on real HBM: output rows
+    past the last window must be zero-filled, not left uninitialized."""
+    from hgaprec_tpu.ops.mxu_tail import build_tail_compact
+    from hgaprec_tpu.ops.pallas_tail import SPAN, pallas_tail_sweep
+
+    rng = np.random.default_rng(61)
+    n, m, k = 40_000, 2_000, 100
+    n_present = 36_000                  # 0.9n; 4000-row gap > SPAN
+    u = np.repeat(np.arange(n_present, dtype=np.int32), 3)  # all present
+    i = rng.integers(0, m, u.size).astype(np.int32)
+    order = np.lexsort((i, u))
+    u, i = u[order], i[order]
+    y = rng.integers(1, 4, u.size).astype(np.float32)
+    tc = build_tail_compact(u, i, y, n_users=n)
+    assert tc.w0_ur is not None
+    assert n - n_present > SPAN
+    a = jnp.asarray(rng.random((n, k)), jnp.float32) + 0.1
+    b = jnp.asarray(rng.random((m, k)), jnp.float32) + 0.1
+    acc_a, _, _, _ = jax.jit(
+        lambda: pallas_tail_sweep(a, b, None, None, tc, bf16=True))()
+    tail_rows = np.asarray(acc_a[n_present + SPAN:])
+    np.testing.assert_array_equal(tail_rows, 0.0)
+    assert np.isfinite(np.asarray(acc_a)).all()
