@@ -155,13 +155,18 @@ _FIELDS = ("theta", "beta", "theta_rate", "beta_rate", "theta_bias",
 
 
 def save_npz(path: str, state: ModelState, iteration: int) -> None:
+    """Derived parts (e/elog) may be None — e.g. the sharded trainer
+    gathers only shape/rate to the host (parallel/sharded.py) — and are
+    then recomputed from shape/rate on load."""
     arrs = {"iteration": np.asarray(iteration)}
     for f in _FIELDS:
         g: Optional[Gam] = getattr(state, f)
         if g is None:
             continue
         for part in ("shape", "rate", "e", "elog"):
-            arrs[f"{f}.{part}"] = np.asarray(getattr(g, part))
+            v = getattr(g, part)
+            if v is not None:
+                arrs[f"{f}.{part}"] = np.asarray(v)
     for f in ("theta_mle", "beta_mle", "theta_prior_e", "theta_prior_elog",
               "beta_prior_e", "beta_prior_elog"):
         v = getattr(state, f)
@@ -178,8 +183,13 @@ def load_npz(path: str, cfg: ModelConfig):
     def gam(f):
         if f"{f}.shape" not in z:
             return None
-        return Gam(*[jnp.asarray(z[f"{f}.{p}"], dt)
-                     for p in ("shape", "rate", "e", "elog")])
+        shape = jnp.asarray(z[f"{f}.shape"], dt)
+        rate = jnp.asarray(z[f"{f}.rate"], dt)
+        if f"{f}.e" in z and f"{f}.elog" in z:
+            return Gam(shape, rate, jnp.asarray(z[f"{f}.e"], dt),
+                       jnp.asarray(z[f"{f}.elog"], dt))
+        e, elog = expectations(shape, rate)
+        return Gam(shape, rate, e, elog)
 
     def arr(f):
         return jnp.asarray(z[f], dt) if f in z else None

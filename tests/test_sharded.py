@@ -46,7 +46,10 @@ def test_sharded_matches_single(rng, variant, kw, dense):
 
     if variant != "mle_user":
         close(got.theta.e, state.theta.e, "theta_e")
-        close(got.theta.elog, state.theta.elog, "theta_elog")
+        # elog is not gathered (no host path reads it); shape/rate are
+        # the checkpoint payload and pin the same information
+        close(got.theta.shape, state.theta.shape, "theta_shape")
+        close(got.theta.rate, state.theta.rate, "theta_rate")
     if variant not in ("mle_item", "canny"):
         close(got.beta.e, state.beta.e, "beta_e")
     if variant == "hpf":
@@ -146,3 +149,67 @@ def test_uneven_rows_masked(rng):
     np.testing.assert_allclose(np.asarray(got.beta.e),
                                np.asarray(state.beta.e), rtol=2e-4,
                                atol=1e-6)
+
+
+def test_report_gather_leaf_accounting(rng, monkeypatch):
+    """VERDICT r4 #6: the per-report device->host transfer is bounded.
+
+    'eval' gathers only the e expectations (1 leaf per Gam, 4x less
+    than the old shape/rate/e/elog gather); 'full' gathers shape+rate
+    (2 leaves) and derives e host-side with the exact clamped divide.
+    Counted through a host_global spy; also pins the npz round trip
+    with the derived (elog-less) state.
+    """
+    import hgaprec_tpu.parallel.sharded as sh
+    from hgaprec_tpu.io import checkpoint as ckpt
+
+    store, _, _ = make_synthetic(rng, n=53, m=31, density=0.3)
+    cfg = ModelConfig(n=store.n, m=store.m, k=4, variant="hpf", bias=True,
+                      sweep="segment")
+    run = build_sharded_run(store, cfg, make_mesh(), seed=1,
+                            pad_multiple=128)
+    run.step()
+
+    counts = {"bytes": 0, "calls": 0}
+    real = sh.host_global
+
+    def spy(x):
+        h = real(x)
+        counts["bytes"] += h.nbytes
+        counts["calls"] += 1
+        return h
+
+    monkeypatch.setattr(sh, "host_global", spy)
+    st_eval = run.unsharded_state("eval")
+    eval_bytes, eval_calls = counts["bytes"], counts["calls"]
+    counts["bytes"] = counts["calls"] = 0
+    st_full = run.unsharded_state("full")
+    full_bytes, full_calls = counts["bytes"], counts["calls"]
+
+    # eval: e only — 6 Gams (theta/beta, rates, biases), no shape/rate
+    assert eval_calls == 6
+    assert st_eval.theta.shape is None and st_eval.theta.elog is None
+    # full: shape+rate per Gam (+ 4 tiny hier prior rows), elog dropped
+    assert full_calls == 16
+    assert st_full.theta.elog is None
+    assert eval_bytes < full_bytes
+    # old behavior was 4 leaves/Gam: e + elog + shape + rate; eval now
+    # moves strictly the e leaves = 1/4 of that by construction
+    old_bytes = eval_bytes * 4
+    assert full_bytes < old_bytes
+
+    # host-derived e == device e (exact clamped divide)
+    np.testing.assert_allclose(np.asarray(st_full.theta.e),
+                               np.asarray(st_eval.theta.e),
+                               rtol=1e-6, atol=0)
+
+    # checkpoint round trip from the elog-less state
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "model.npz")
+        ckpt.save_npz(path, st_full, 7)
+        st2, it2 = ckpt.load_npz(path, cfg)
+    assert it2 == 7
+    np.testing.assert_allclose(np.asarray(st2.theta.e),
+                               np.asarray(st_full.theta.e), rtol=1e-6)
+    assert st2.theta.elog is not None      # recomputed from shape/rate
