@@ -85,6 +85,9 @@ class ModelConfig:
     def __post_init__(self):
         if self.variant not in _VARIANTS:
             raise ValueError(f"unknown variant {self.variant!r}")
+        if self.tail_impl not in ("auto", "pallas", "mxu"):
+            raise ValueError(f"unknown tail_impl {self.tail_impl!r} "
+                             "(auto|pallas|mxu)")
         if self.bias and self.variant in (VARIANT_MLE_USER, VARIANT_MLE_ITEM,
                                           VARIANT_CANNY):
             # reference asserts this combination away (hgaprec.cc:1505)
