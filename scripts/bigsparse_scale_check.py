@@ -340,6 +340,10 @@ def main():
     print(f"itemrank eval (1000 pairs x {m} items): {dt:.1f}s "
           "(incl. compile)", flush=True)
     results["itemrank_1000pairs_s"] = round(dt, 2)
+    # label the cache state: the cold number includes jit compile, so it
+    # swings with the persistent-cache hit/miss (r4's committed 0.4 s vs
+    # cached 10.34 s disagreement was exactly this, unlabeled)
+    results["itemrank_cold_includes_compile"] = True
     t0 = time.time()
     ranks, _ = item_ranks(sc, _StoreShim(), _IndexShim(), pairs_u, pairs_i)
     dt = time.time() - t0
