@@ -243,6 +243,10 @@ def main():
         cfg = ModelConfig(n=n, m=m, k=K, variant="hpf", sweep="hybrid",
                           matmul_precision=prec, tail_impl=tailimpl)
         try:
+            # free the previous config's state BEFORE building the next
+            # one: holding both full HPF states (2 x ~2.8 GB at NYT's
+            # n=1.6M) beside the 4 GiB head block OOM'd the r5 NYT run
+            state = None
             ms, state = time_mode(cfg, dd, tag)
         except Exception as e:  # record and continue — partial artifacts
             results[f"{tag}_error"] = str(e)[:200]
@@ -251,16 +255,28 @@ def main():
         results[f"ms_per_iter_{tag}"] = round(ms, 1)
         results[f"{tag}_ns_per_nnz"] = round(ms * 1e6 / nnz, 1)
         write_results()
+    if state is None:
+        print("no hybrid config succeeded; aborting", flush=True)
+        return
+
+    # itemrank scorer factors captured BEFORE the tail microbench so the
+    # full training state (2.8 GB at NYT scale) and the multi-GB head
+    # block can be freed — their overlap with a second state is what
+    # OOM'd the first r5 NYT attempt
+    from hgaprec_tpu.eval.score import scorer_from_state
+    sc = scorer_from_state(state, cfg)
+    state = None
+    del data_h, data_hm, head_dense
 
     # tail-only microbench: ns per tail nonzero through the MXU sweep
     # (VERDICT r2 #2 asks for the tail cost alone vs the ~54 ns/nnz
-    # gather-bound segment path and the 6 ns/row gather wall)
+    # gather-bound segment path and the 6 ns/row gather wall). The
+    # scorer's e-expectations serve as the linear-space factor tables —
+    # same shapes/dtypes as exp(Elog), no extra full state on chip.
     if ut.size:
         import functools as _ft
-        from hgaprec_tpu.models.state import init_state as _init
-        st = _init(ModelConfig(n=n, m=m, k=K, variant="hpf"), seed=2)
-        a_lin = jnp.exp(st.theta.elog)
-        b_lin = jnp.exp(st.beta.elog)
+        a_lin = sc.su
+        b_lin = sc.sv
 
         @_ft.partial(jax.jit, static_argnames=("bf16",))
         def tail_only(a, b, bf16=True):
@@ -305,12 +321,11 @@ def main():
         print(f"tail pallas: {tail_ms:.0f} ms "
               f"({tail_ms * 1e6 / ut.size:.1f} ns/nnz)", flush=True)
         write_results()
-        del st, a_lin, b_lin, r
+        del a_lin, b_lin, r
 
     # streamed ranking-eval timing (VERDICT r1 #5): rank 1000 heldout
     # (user, item) pairs among all M items with the device rank counter
     # — the [S, M] host matrix never exists at these shapes
-    from hgaprec_tpu.eval.score import scorer_from_state
     from hgaprec_tpu.eval.topk import item_ranks
 
     row_ptr = np.concatenate(
@@ -333,7 +348,6 @@ def main():
     rng = np.random.default_rng(3)
     pairs_u = rng.integers(0, n, 1000)
     pairs_i = rng.integers(0, m, 1000)
-    sc = scorer_from_state(state, cfg)
     t0 = time.time()
     ranks, _ = item_ranks(sc, _StoreShim(), _IndexShim(), pairs_u, pairs_i)
     dt = time.time() - t0

@@ -82,3 +82,49 @@ def test_identity_primary_trailing_rows_zero_on_hardware():
     tail_rows = np.asarray(acc_a[n_present + SPAN:])
     np.testing.assert_array_equal(tail_rows, 0.0)
     assert np.isfinite(np.asarray(acc_a)).all()
+
+
+def test_default_config_dispatches_pallas_tail(monkeypatch):
+    """VERDICT r4 #3: a plain hybrid config (tail_impl='auto', any
+    -precision) must execute the Pallas tail on TPU — asserted by a
+    dispatch spy, not inferred from timing."""
+    import numpy as np
+
+    import hgaprec_tpu.ops.pallas_tail as pallas_mod
+    from hgaprec_tpu.ops.mxu_tail import build_tail_compact
+    from hgaprec_tpu.ops.sweep import sweep_hybrid
+    from hgaprec_tpu.data.device import DeviceData
+
+    rng = np.random.default_rng(5)
+    n, m, k = 4_000, 1_500, 16
+    u = np.repeat(np.arange(n, dtype=np.int32), 2)
+    i = rng.integers(0, m, u.size).astype(np.int32)
+    order = np.lexsort((i, u))
+    u, i = u[order], i[order]
+    y = rng.integers(1, 4, u.size).astype(np.float32)
+    head_t = 128
+    head_ids = jnp.arange(head_t, dtype=jnp.int32)
+    head_dense = jnp.zeros((4096, head_t), jnp.uint8)
+    tc = build_tail_compact(u, i, y, n_users=n)
+    data = DeviceData(
+        u_ids=jnp.asarray(u), i_ids=jnp.asarray(i), y=jnp.asarray(y),
+        item_order=jnp.asarray(u), i_ids_sorted=jnp.asarray(i),
+        u_ids_by_item=jnp.asarray(u), dense_y=None,
+        head_items=head_ids, head_dense_y=head_dense,
+        tail_compact=tc)
+    called = []
+    real = pallas_mod.pallas_tail_sweep
+
+    def spy(*a, **kw):
+        called.append("pallas")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pallas_mod, "pallas_tail_sweep", spy)
+    elog_a = jnp.log(jnp.asarray(rng.random((n, k)) + 0.2, jnp.float32))
+    elog_b = jnp.log(jnp.asarray(rng.random((m, k)) + 0.2, jnp.float32))
+    # f32 "highest" precision — the parity-leaning default — still
+    # routes the tail through the Pallas kernel (bf16 tables)
+    res = sweep_hybrid(elog_a, elog_b, None, None, data,
+                       bf16=False, tail_impl="auto")
+    assert called == ["pallas"]
+    assert np.isfinite(np.asarray(res.acc_a)).all()
