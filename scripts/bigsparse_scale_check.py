@@ -72,28 +72,34 @@ def fence(x):
     return float(jnp.ravel(jax.tree.leaves(x)[0])[0])
 
 
-def time_mode(cfg, data, label, iters=5):
+def time_mode(cfg, data, label, dispatches=2, chunk=5):
+    """Time the PRODUCTION dispatch shape: `chunk` iterations fused in
+    one device program (models/engine.py fuses rfreq iterations per
+    dispatch). Per-dispatch single-step timing on the tunneled chip
+    carries a 10-40 ms host-dispatch overhead the engine never pays
+    (r5 finding, scripts/dense_mfu_probe.py follow-up)."""
     import functools
     from hgaprec_tpu.models.state import init_state
-    from hgaprec_tpu.models.step import cavi_step
+    from hgaprec_tpu.models.step import cavi_multi_step
 
     state = init_state(cfg, seed=1)
 
     @functools.partial(jax.jit, donate_argnums=(0,),
                        static_argnames=("cfg",))
-    def step(st, d, cfg=cfg):
-        return cavi_step(st, d, cfg, None, None)
+    def steps(st, d, cfg=cfg):
+        return cavi_multi_step(st, d, cfg, chunk, None, None)
 
     t0 = time.time()
-    state = step(state, data, cfg=cfg)
+    state = steps(state, data, cfg=cfg)
     _ = fence(state.theta.e)
     print(f"{label} compile+first {time.time() - t0:.1f}s", flush=True)
     t0 = time.time()
-    for _ in range(iters):
-        state = step(state, data, cfg=cfg)
+    for _ in range(dispatches):
+        state = steps(state, data, cfg=cfg)
     _ = fence(state.theta.e)
-    ms = (time.time() - t0) / iters * 1e3
-    print(f"{label}: {ms:.0f} ms/iter", flush=True)
+    ms = (time.time() - t0) / (dispatches * chunk) * 1e3
+    print(f"{label}: {ms:.0f} ms/iter ({chunk} iters/dispatch)",
+          flush=True)
     assert np.isfinite(float(np.asarray(state.theta.e).sum()))
     return ms, state
 
@@ -118,7 +124,8 @@ def main():
     from hgaprec_tpu.data.device import DeviceData
 
     results = {"preset": preset, "n": n, "m": m, "k": K, "nnz": int(nnz),
-               "distribution": "user power(3.0), item zipf(1.2), dedup"}
+               "distribution": "user power(3.0), item zipf(1.2), dedup",
+               "iters_per_dispatch": 5}
     out = os.path.join(ROOT, ".bench_cache", f"{preset}_scale.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
 

@@ -120,27 +120,38 @@ def main():
         state = init_state(cfg, seed=1)
 
         # NB: data/row_mask must be real arguments — a closed-over 10 GB
-        # jax.Array becomes a jaxpr *constant* and stalls compilation
+        # jax.Array becomes a jaxpr *constant* and stalls compilation.
+        # Timing uses the PRODUCTION dispatch shape: rfreq iterations
+        # fused into one device program (models/engine.py::_run_loop) —
+        # per-dispatch timing on the tunneled chip carries a 10-40 ms
+        # host-dispatch overhead that the engine never pays (measured
+        # r5, scripts/dense_mfu_probe.py follow-up: the fused kernel
+        # runs ~1.5 us/tile vs ~3.6 per-dispatch at 65k rows)
+        from hgaprec_tpu.models.step import cavi_multi_step
+        chunk = 10
+
         @functools.partial(jax.jit, donate_argnums=(0,),
                            static_argnames=("cfg",))
-        def step(st, d, rm, cfg=cfg):
-            return cavi_step(st, d, cfg, None, rm)
+        def steps(st, d, rm, cfg=cfg):
+            return cavi_multi_step(st, d, cfg, jnp.int32(chunk), None, rm)
         # fences are host materializations of a value depending on every
         # prior step — block_until_ready can return early on the tunnel
         t0 = time.time()
-        state = step(state, data, row_mask, cfg=cfg)
+        state = steps(state, data, row_mask, cfg=cfg)
         _ = np.asarray(state.theta.e[0, 0])
         print(f"{tag} compile+first {time.time() - t0:.1f}s", flush=True)
-        state = step(state, data, row_mask, cfg=cfg)
+        state = steps(state, data, row_mask, cfg=cfg)
         _ = np.asarray(state.theta.e[0, 0])
         t0 = time.time()
-        iters = 10
-        for _ in range(iters):
-            state = step(state, data, row_mask, cfg=cfg)
+        disp = 3
+        for _ in range(disp):
+            state = steps(state, data, row_mask, cfg=cfg)
         _ = np.asarray(state.theta.e[0, 0])
-        ms = (time.time() - t0) / iters * 1e3
-        print(f"{tag}: {ms:.0f} ms/iter", flush=True)
+        ms = (time.time() - t0) / (disp * chunk) * 1e3
+        print(f"{tag}: {ms:.1f} ms/iter ({chunk} iters/dispatch)",
+              flush=True)
         results[f"ms_per_iter_{tag}"] = round(ms, 1)
+        results["iters_per_dispatch"] = chunk
         # sanity: finite state
         assert np.isfinite(float(jnp.sum(state.theta.e)))
     out = os.path.join(ROOT, ".bench_cache", "netflix_scale.json")
