@@ -2,10 +2,11 @@
 
 NOTE: on TPU hardware the production tail is now the Pallas kernel in
 ops/pallas_tail.py (windowed DMA + VMEM accumulator ring, one gather
-per nonzero per half — measured 29 vs 41 ns/nnz for this module's
-two-pass XLA sweep at EchoNest tail shape). This module remains the
-portable fallback (CPU, strict-f32 parity runs, tail_impl="mxu")
-and the correctness oracle for the kernel's tests.
+per nonzero per half — 29.5 vs 42-48 ns/nnz both-sides for this
+module's two-pass XLA sweep at EchoNest/NYT tail shapes,
+docs/artifacts/*_scale.json). This module remains the portable
+fallback (CPU, strict-f32 parity runs, tail_impl="mxu") and the
+correctness oracle for the kernel's tests.
 
 The chunked segment sweep (ops/sweep.py::_segment_onepass_lin) pays an
 item-side scatter-add plus a full [N, K] segment-sum materialization
