@@ -16,6 +16,7 @@ TPU-native extensions: -sweep dense|segment|segment-chunked|auto,
 -devices D (shard over a D-chip mesh),
 -resume (continue training from the native checkpoint),
 -tail auto|pallas|mxu (hybrid-mode tail kernel; auto = Pallas on TPU),
+-head-gib G (hybrid head HBM budget; bigger head = faster big-sparse),
 -outdir PATH, -cpu (force the CPU backend), -trace DIR (run training
 under jax.profiler.trace for TensorBoard/xprof).
 """
@@ -67,6 +68,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         # sets the default, -tail overrides — resolved HERE, once, into
         # the static config (never read at trace time, advisor r4)
         "tail": os.environ.get("HGAPREC_TAIL", "auto"),
+        # hybrid head byte budget in GiB (speed/HBM lever; config.py has
+        # the measured tradeoff)
+        "head_gib": 4.0,
     }
 
     i = 0
@@ -211,6 +215,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             o["precision"] = nexta()
         elif arg == "-tail":
             o["tail"] = nexta()
+        elif arg == "-head-gib":
+            o["head_gib"] = float(nexta())
         elif arg == "-trace":
             o["trace"] = nexta()
         elif arg in ("-h", "--help"):
@@ -296,7 +302,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         n=store.n, m=store.m, k=o["k"], variant=variant, bias=o["bias"],
         binary=o["binary"], vb=o["vb"], a=o["a"], b=o["b"], c=o["c"],
         d=o["d"], sweep=o["sweep"], item_block=o["item_block"],
-        matmul_precision=o["precision"], tail_impl=o["tail"])
+        matmul_precision=o["precision"], tail_impl=o["tail"],
+        head_limit_bytes=int(o["head_gib"] * (1 << 30)))
     chi_tool = ("nmf" if o["chinmf"] else "als" if o["als"] else
                 "wals" if o["wals"] else "climf" if o["climf"] else "")
     rcfg = RunConfig(

@@ -78,9 +78,18 @@ class ModelConfig:
     # Data-layout knobs consumed at Trainer build time (host side):
     # catalogs whose dense uint8 matrix would exceed dense_limit_bytes
     # get the hybrid head/tail layout with up to hybrid_head_items
-    # top-degree items in the dense head block.
+    # top-degree items in the dense head block, clipped to a
+    # head_limit_bytes byte budget. The budget is a direct speed/HBM
+    # lever on big-sparse catalogs — the head absorbs nonzeros at dense
+    # MXU rates (~0.9 ns/nnz) while every tail nonzero costs ~29.5 ns
+    # through the Pallas kernel. Measured (EchoNest preset, v5e):
+    # 4 GiB -> 299 ms/iter, 5.5 -> 284, 7 -> 275. Default stays 4 GiB
+    # so tall catalogs (NYT: 1.6M-row head blocks + 2.6 GB state and
+    # its donation double) keep HBM headroom; raise via -head-gib when
+    # the chip has room.
     hybrid_head_items: int = 8192
     dense_limit_bytes: int = 10 << 30
+    head_limit_bytes: int = 4 << 30
 
     def __post_init__(self):
         if self.variant not in _VARIANTS:

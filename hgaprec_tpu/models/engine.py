@@ -112,7 +112,8 @@ class Trainer:
                 head = 0
             self.data = build_device_data(
                 store, hybrid_head_items=head,
-                dense_limit_bytes=mcfg.dense_limit_bytes)
+                dense_limit_bytes=mcfg.dense_limit_bytes,
+                head_limit_bytes=mcfg.head_limit_bytes)
         self.step = make_step(mcfg)
         self.multi_step = make_multi_step(mcfg)
         self.state: ModelState = init_state(mcfg, seed=rcfg.seed)

@@ -472,7 +472,8 @@ def build_sharded_run(store: RatingsStore, cfg: ModelConfig,
     data = build_sharded_data(store, n_padded, mesh,
                               pad_multiple=pad_multiple, dense=dense,
                               dense_limit_bytes=cfg.dense_limit_bytes,
-                              hybrid_head_items=head)
+                              hybrid_head_items=head,
+                              head_limit_bytes=cfg.head_limit_bytes)
 
     # Deterministic init on host at true n (identical on every process —
     # same seed, same draw order), then each process places only the row

@@ -112,6 +112,12 @@ def main():
     # instead of re-paying the 45M-nnz scan's multi-minute compile —
     # the segment path hasn't changed since they were measured
     skipseg = "skipseg" in sys.argv[4:]
+    # "only=tag1,tag2": measure a subset of the hybrid configs (cheap
+    # one-off probes, e.g. head-budget sweeps)
+    only = None
+    for a in sys.argv[4:]:
+        if a.startswith("only="):
+            only = a[5:].split(",")
     n, m = PRESETS[preset]
 
     t0 = time.time()
@@ -126,7 +132,8 @@ def main():
     results = {"preset": preset, "n": n, "m": m, "k": K, "nnz": int(nnz),
                "distribution": "user power(3.0), item zipf(1.2), dedup",
                "iters_per_dispatch": 5}
-    out = os.path.join(ROOT, ".bench_cache", f"{preset}_scale.json")
+    suffix = "_scale_probe.json" if only else "_scale.json"
+    out = os.path.join(ROOT, ".bench_cache", f"{preset}{suffix}")
     os.makedirs(os.path.dirname(out), exist_ok=True)
 
     def write_results():
@@ -247,6 +254,8 @@ def main():
             (data_hm, "highest", "pallas", "hybrid_pallas_f32state"),
             (data_hm, "default", "mxu", "hybrid_mxu_bf16"),
             (data_hm, "highest", "mxu", "hybrid_mxu_f32")):
+        if only and tag not in only:
+            continue
         cfg = ModelConfig(n=n, m=m, k=K, variant="hpf", sweep="hybrid",
                           matmul_precision=prec, tail_impl=tailimpl)
         try:
