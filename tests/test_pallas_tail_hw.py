@@ -128,3 +128,47 @@ def test_default_config_dispatches_pallas_tail(monkeypatch):
                        bf16=False, tail_impl="auto")
     assert called == ["pallas"]
     assert np.isfinite(np.asarray(res.acc_a)).all()
+
+
+def test_sharded_hybrid_uses_pallas_on_mesh(monkeypatch):
+    """The sharded big-sparse layout on a real TPU mesh executes the
+    Pallas tail inside shard_map (the pod production path; CPU tests
+    necessarily exercise the mxu fallback there)."""
+    import numpy as np
+
+    import hgaprec_tpu.ops.pallas_tail as pallas_mod
+    from hgaprec_tpu.config import ModelConfig
+    from hgaprec_tpu.data.ratings import RatingsStore
+    from hgaprec_tpu.models.step import _resolve_mode
+    from hgaprec_tpu.parallel.sharded import build_sharded_run, make_mesh
+
+    rng = np.random.default_rng(71)
+    n, m, nnz = 4_000, 1_200, 40_000
+    u = np.sort(rng.integers(0, n, nnz))
+    i = rng.integers(0, m, nnz)
+    key = u.astype(np.int64) * m + i
+    _, first = np.unique(key, return_index=True)
+    u, i = u[first], i[first]
+    store = RatingsStore(n, m)
+    store.add_training(u + 1, i + 1, np.ones(u.size))
+    store.finalize()
+    cfg = ModelConfig(n=store.n, m=store.m, k=16, variant="hpf",
+                      sweep="hybrid", hybrid_head_items=128,
+                      dense_limit_bytes=64)
+    called = []
+    real = pallas_mod.pallas_tail_sweep
+
+    def spy(*a, **kw):
+        called.append("pallas")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pallas_mod, "pallas_tail_sweep", spy)
+    mesh = make_mesh(jax.devices())
+    run = build_sharded_run(store, cfg, mesh, seed=2, pad_multiple=1024)
+    assert _resolve_mode(run.cfg, run.data) == "hybrid"
+    assert run.data.tail_compact.w0_u is not None
+    out = run.step()
+    jax.block_until_ready(jax.tree.leaves(out))
+    assert called  # traced through the Pallas kernel under shard_map
+    st = run.unsharded_state("eval")
+    assert np.isfinite(np.asarray(st.theta.e)).all()
