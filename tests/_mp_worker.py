@@ -85,6 +85,31 @@ def main():
     np.testing.assert_allclose(np.asarray(st_l.beta.e),
                                np.asarray(st_g.beta.e), rtol=1e-6)
 
+    # --- sharded HYBRID layout across two processes: the head set is ---
+    # chosen from allgather-summed degrees and the per-shard TailCompact
+    # pads come from allgather-maxed stats; per-host-ingested and
+    # full-store builds must train identically
+    cfg3 = ModelConfig(n=store_g.n, m=store_g.m, k=3, variant="hpf",
+                       sweep="hybrid", hybrid_head_items=8,
+                       dense_limit_bytes=64)
+    run_hl = build_sharded_run(store_l, cfg3, make_mesh(), seed=7,
+                               pad_multiple=64)
+    run_hg = build_sharded_run(store_g, cfg3, make_mesh(), seed=7,
+                               pad_multiple=64)
+    assert run_hl.data.head_dense_y is not None
+    assert run_hl.data.tail_compact is not None
+    from hgaprec_tpu.models.step import _resolve_mode
+    assert _resolve_mode(run_hl.cfg, run_hl.data) == "hybrid"
+    for _ in range(2):
+        run_hl.step()
+        run_hg.step()
+    st_hl = run_hl.unsharded_state("eval")
+    st_hg = run_hg.unsharded_state("eval")
+    np.testing.assert_allclose(np.asarray(st_hl.theta.e),
+                               np.asarray(st_hg.theta.e), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_hl.beta.e),
+                               np.asarray(st_hg.beta.e), rtol=1e-6)
+
     np.savez(os.path.join(outdir, f"proc{pid}.npz"),
              theta_e=np.asarray(st.theta.e),
              beta_e=np.asarray(st.beta.e),
