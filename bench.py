@@ -108,14 +108,24 @@ def time_tpu(store):
     # code); the minimum over several 100-iteration windows is the
     # stable statistic for "what the hardware does", max-min spread is
     # logged as the noise band
-    windows = []
-    for _ in range(3):
+    def timed_window():
         t0 = time.time()
         for _ in range(TPU_TIMED_ITERS // chunk):
-            state = multi(state, data, chunk)
-        _ = np.asarray(state.theta.e[0, 0])
-        windows.append((time.time() - t0)
-                       / (TPU_TIMED_ITERS // chunk * chunk))
+            state2 = multi(timed_window.state, data, chunk)
+            timed_window.state = state2
+        _ = np.asarray(timed_window.state.theta.e[0, 0])
+        return (time.time() - t0) / (TPU_TIMED_ITERS // chunk * chunk)
+
+    timed_window.state = state
+    windows = [timed_window() for _ in range(3)]
+    if max(windows) > 1.2 * min(windows):
+        # transient chip/tunnel contention (observed up to 5x on the
+        # shared host): extend the run so the min window has a chance
+        # to land in a quiet period
+        log(f"window spread {min(windows) * 1e3:.3f}-"
+            f"{max(windows) * 1e3:.3f} ms > 20% — extending to 8 windows")
+        windows += [timed_window() for _ in range(5)]
+    state = timed_window.state
     dt = min(windows)
     log(f"tpu: {dt * 1e3:.3f} ms/iter ({chunk} iters/dispatch; "
         f"window spread {min(windows) * 1e3:.3f}-"
